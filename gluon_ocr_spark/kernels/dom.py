@@ -1,0 +1,249 @@
+"""HTML → flat text-block stream (the "detect" scan).
+
+Plays the role of the reference's image decode + DBNet probability-map
+forward (reference ``scripts/deploy/python_infer/demo.py:88-98``): it
+turns the raw page payload into candidate text regions that the
+staged post-process in :mod:`gluon_ocr_spark.kernels.blocks` will
+threshold / filter / merge, exactly as the reference thresholds and
+filters its probability map (``gluonocr/post_process/db_postprocess.py``).
+
+Implementation is stdlib-only (``html.parser``) so it runs unchanged
+inside executors' pandas UDF batches and in the single-process oracle.
+Parsing is strictly deterministic: blocks are emitted in document
+order with a monotonically increasing ``order`` index — the analog of
+the reference's contour emission order that SURVEY §2.9.4 pins down
+as the canonical reading order.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from html.parser import HTMLParser
+
+# Tags whose entire subtree carries no extractable text.
+SKIP_SUBTREE = frozenset(
+    {
+        "script",
+        "style",
+        "noscript",
+        "template",
+        "svg",
+        "head",
+        "iframe",
+        "object",
+        "embed",
+        "canvas",
+        "audio",
+        "video",
+        "select",
+        "option",
+        "button",
+        "textarea",
+    }
+)
+
+# Inline tags: do NOT open a new block (text flows through them).
+INLINE = frozenset(
+    {
+        "a",
+        "abbr",
+        "b",
+        "bdi",
+        "bdo",
+        "cite",
+        "code",
+        "data",
+        "del",
+        "dfn",
+        "em",
+        "font",
+        "i",
+        "ins",
+        "kbd",
+        "mark",
+        "q",
+        "s",
+        "samp",
+        "small",
+        "span",
+        "strike",
+        "strong",
+        "sub",
+        "sup",
+        "time",
+        "tt",
+        "u",
+        "var",
+        "wbr",
+        "img",
+        "br",
+        "label",
+    }
+)
+
+HEADING_TAGS = frozenset({"h1", "h2", "h3", "h4", "h5", "h6"})
+
+# Void elements never get a close tag.
+VOID = frozenset(
+    {"area", "base", "br", "col", "embed", "hr", "img", "input", "link", "meta", "param", "source", "track", "wbr"}
+)
+
+
+@dataclass
+class Block:
+    """One contiguous run of text between block-level boundaries.
+
+    ``chain`` is the open block-level ancestor chain at the time the
+    block started, outermost → innermost, each element
+    ``(tag, css_tokens)`` where css_tokens are the lowercased class/id
+    tokens declared ON that element. Downstream scoring resolves
+    boilerplate-vs-content evidence nearest-ancestor-first, so a
+    ``<section class="comments">`` inside ``<main>`` is boilerplate
+    even though an outer ancestor says content.
+    """
+
+    order: int  # document-order index (canonical reading order, SURVEY §2.5 C2)
+    tag: str  # nearest enclosing block-level tag ("p", "h1", "li", "div", ...)
+    chain: tuple[tuple[str, frozenset[str]], ...]
+    parts: list[str] = field(default_factory=list)  # raw text fragments
+    link_chars: int = 0  # visible chars inside <a> subtrees
+    text: str = ""  # whitespace-normalized, set by finalize()
+
+    def finalize(self) -> "Block":
+        # HTML whitespace semantics: collapse runs of whitespace to a
+        # single space, strip the ends.
+        self.text = " ".join("".join(self.parts).split())
+        self.parts = []
+        return self
+
+    @property
+    def n_chars(self) -> int:
+        return len(self.text)
+
+    @property
+    def link_density(self) -> float:
+        n = len(self.text)
+        return min(1.0, self.link_chars / n) if n else 0.0
+
+    @property
+    def is_heading(self) -> bool:
+        return self.tag in HEADING_TAGS
+
+
+def _norm_len(parts: list[str]) -> int:
+    return len(" ".join("".join(parts).split()))
+
+
+class _BlockParser(HTMLParser):
+    def __init__(self) -> None:
+        super().__init__(convert_charrefs=True)
+        self.blocks: list[Block] = []
+        self._chain: list[tuple[str, frozenset[str]]] = []  # open block-level elements
+        self._skip_depth = 0
+        self._link_depth = 0
+        self._cur: Block | None = None
+        self._order = 0
+        self._link_parts: list[str] = []
+
+    # -- helpers ---------------------------------------------------
+    def _drain_link(self) -> None:
+        if self._link_parts:
+            if self._cur is not None:
+                self._cur.link_chars += _norm_len(self._link_parts)
+            self._link_parts = []
+
+    def _flush(self) -> None:
+        self._drain_link()
+        if self._cur is not None:
+            blk = self._cur.finalize()
+            if blk.text:
+                self.blocks.append(blk)
+            self._cur = None
+
+    def _open_block(self, tag: str) -> None:
+        self._flush()
+        self._cur = Block(order=self._order, tag=tag, chain=tuple(self._chain))
+        self._order += 1
+
+    # -- HTMLParser hooks ------------------------------------------
+    def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
+        tag = tag.lower()
+        if tag in VOID:
+            if tag == "br" and self._cur is not None and not self._skip_depth:
+                self._cur.parts.append(" ")
+            return
+        if self._skip_depth or tag in SKIP_SUBTREE:
+            self._skip_depth += 1
+            return
+        if tag in INLINE:
+            if tag == "a":
+                self._link_depth += 1
+            return
+        # block-level boundary
+        tokens: set[str] = set()
+        for k, v in attrs:
+            if k in ("class", "id") and v:
+                tokens.update(t.lower() for t in v.replace("-", " ").replace("_", " ").split())
+        self._chain.append((tag, frozenset(tokens)))
+        self._open_block(tag)
+
+    def handle_endtag(self, tag: str) -> None:
+        tag = tag.lower()
+        if tag in VOID:
+            return
+        if self._skip_depth:
+            self._skip_depth -= 1
+            return
+        if tag in INLINE:
+            if tag == "a" and self._link_depth:
+                self._link_depth -= 1
+                if self._link_depth == 0:
+                    self._drain_link()
+            return
+        self._flush()
+        # pop up to the matching open tag (tolerates misnesting)
+        if any(t == tag for t, _ in self._chain):
+            while self._chain:
+                t, _ = self._chain.pop()
+                if t == tag:
+                    break
+        # text after a closed element belongs to the parent block
+        parent = self._chain[-1][0] if self._chain else "body"
+        self._open_block(parent)
+
+    def handle_data(self, data: str) -> None:
+        if self._skip_depth or not data:
+            return
+        if self._cur is None:
+            self._open_block(self._chain[-1][0] if self._chain else "body")
+        self._cur.parts.append(data)
+        if self._link_depth:
+            self._link_parts.append(data)
+
+    def close(self) -> None:  # type: ignore[override]
+        super().close()
+        self._flush()
+
+
+def parse_blocks(html: bytes | str) -> list[Block]:
+    """Decode + parse a page payload into document-ordered text blocks.
+
+    The decode step is the analog of the reference's
+    ``cv2.imdecode(np.frombuffer(bytes))`` (reference
+    ``gluonocr/data/data_utils.py:123-131``): bytes in, structured
+    candidate regions out. UTF-8 with replacement keeps the kernel
+    total (never throws on crawl junk).
+    """
+    if isinstance(html, (bytes, bytearray, memoryview)):
+        html = bytes(html).decode("utf-8", errors="replace")
+    p = _BlockParser()
+    try:
+        p.feed(html)
+        p.close()
+    except Exception:
+        # html.parser is already lenient; absolute totality for crawl data.
+        p._flush()
+    # re-number consecutively so downstream grouping can use adjacency
+    for i, b in enumerate(p.blocks):
+        b.order = i
+    return p.blocks

@@ -1,0 +1,48 @@
+"""Skew-aware partitioning of payload-heavy page tables.
+
+Page payload sizes are heavy-tailed (a few multi-MB pages among many
+KB pages). Left alone, a naive scan partitioning can strand several
+giant pages in one task → stragglers that destroy scaling efficiency
+(the north rule's ≥0.8 bar). Two strategies, both pure DataFrame ops:
+
+* :func:`salt_partition` — one shuffle; salt = ``pmod(xxhash64(url), n)``
+  spreads pages uniformly at random, so expected bytes/partition are
+  equal and giants land in different tasks with high probability.
+  This is the default (cheapest, no global coordination), the analog
+  of SURVEY §4's "salt/range-partition by length(html)" requirement.
+
+* :func:`binpack_partition` — two shuffles; globally ranks pages by
+  ``octet_length(html)`` descending and deals them round-robin, which
+  bounds bytes/partition almost perfectly (longest-processing-time
+  greedy). Worth it only when the tail is extreme; the global
+  ``row_number`` window is a single-reducer sort at planning time, so
+  at 10^12 rows prefer :func:`salt_partition` + AQE.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salt_partition(df: DataFrame, num_partitions: int, key: str = "url") -> DataFrame:
+    """Uniform salt-hash repartition; one shuffle, scales to any row count."""
+    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)).alias("__salt")
+    return df.withColumn("__salt", salt).repartition(num_partitions, "__salt").drop("__salt")
+
+
+def binpack_partition(df: DataFrame, num_partitions: int, payload: str = "html") -> DataFrame:
+    """Round-robin by descending payload size (LPT greedy bin-packing).
+
+    Near-perfect byte balance; costs a global sort. Use for moderate
+    row counts or when a measured run shows salt_partition stragglers.
+    """
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.octet_length(F.col(payload)).desc(), F.col("url"))
+    ranked = df.withColumn("__rank", F.row_number().over(w))
+    out = (
+        ranked.withColumn("__bucket", F.pmod(F.col("__rank"), F.lit(num_partitions)))
+        .repartition(num_partitions, "__bucket")
+        .drop("__rank", "__bucket")
+    )
+    return out

@@ -1,0 +1,159 @@
+"""Deterministic synthetic Common-Crawl-style page corpus.
+
+Produces the ``input_hint`` table shape
+``pages(url string, warc_ts timestamp, html binary, text string, lang string)``
+(FIXTURES.md §1) with:
+
+* seeded, fully deterministic content — same (seed, n) ⇒ same bytes;
+* realistic boilerplate chrome (nav / header / cookie banner / sidebar /
+  ads / footer) around a known main-content body, so the extraction
+  pipeline has real work to do;
+* a **round-trip guarantee**: the generated ``text`` column is exactly
+  what :func:`gluon_ocr_spark.kernels.extract.extract_document` must
+  return for the page — the ground-truth for the byte-identical gate;
+* heavy-tailed page sizes (Pareto-ish paragraph counts and a small
+  fraction of giant pages) to exercise the skew salting required by
+  the north rule.
+
+The generator is pure Python (no Spark import) so the oracle tests and
+the Spark source share it; :func:`pages_dataframe` materializes it as
+a Spark DataFrame via ``mapInPandas`` over an id range — generation
+happens ON EXECUTORS (no driver-side collect), so the bench corpus
+scales horizontally like a real Iceberg scan would.
+"""
+
+from __future__ import annotations
+
+import datetime as _dt
+import html as _html
+import random
+
+WORDS = (
+    "the quick brown fox jumps over lazy dog crawl web page content extraction "
+    "spark engine shuffle partition column vector batch stream query plan scan "
+    "filter join group order window merge sort hash data table row value key "
+    "large scale corpus document language model token text main article news"
+).split()
+
+BOILER_LINKS = [
+    "Home",
+    "About",
+    "Contact",
+    "Products",
+    "Careers",
+    "Blog",
+    "Terms",
+    "Privacy",
+    "Sitemap",
+    "Login",
+    "Register",
+    "Help",
+]
+
+LANGS = ["en", "en", "en", "de", "fr", "es", "zh"]  # en-skewed like a crawl
+
+_EPOCH = _dt.datetime(2024, 3, 1, 0, 0, 0)
+
+
+def _sentence(rng: random.Random, lo: int = 6, hi: int = 16) -> str:
+    return " ".join(rng.choice(WORDS) for _ in range(rng.randint(lo, hi)))
+
+
+def _paragraph(rng: random.Random) -> str:
+    return " ".join(_sentence(rng) for _ in range(rng.randint(1, 4)))
+
+
+def make_page(page_id: int, seed: int = 42) -> dict:
+    """Build one page deterministically from (seed, page_id)."""
+    rng = random.Random((seed << 20) ^ page_id)
+    lang = rng.choice(LANGS)
+
+    # --- main content (ground truth) ---
+    title = _sentence(rng, 3, 7).title()
+    # heavy tail: most pages a few paragraphs, some huge (skew driver)
+    r = rng.random()
+    if r < 0.02:
+        n_paras = rng.randint(120, 400)  # giant page
+    elif r < 0.2:
+        n_paras = rng.randint(20, 60)
+    else:
+        n_paras = rng.randint(1, 8)
+    paras = [_paragraph(rng) for _ in range(n_paras)]
+    truth_lines = [title] + paras
+    truth = "\n".join(truth_lines)
+
+    # --- boilerplate chrome ---
+    nav = "".join(f'<li><a href="/{w.lower()}">{w}</a></li>' for w in rng.sample(BOILER_LINKS, 6))
+    side = "".join(
+        f'<div class="widget"><a href="#{i}">{_sentence(rng, 2, 5)}</a></div>' for i in range(rng.randint(2, 5))
+    )
+    ads = f'<div class="ad banner"><a href="/buy">{_sentence(rng, 3, 8)}</a></div>'
+    cookie = '<div id="cookie-consent">We use cookies. <a href="/accept">Accept</a></div>'
+    footer = (
+        '<footer><ul class="footer-links">'
+        + "".join(f'<li><a href="/f{i}">{w}</a></li>' for i, w in enumerate(rng.sample(BOILER_LINKS, 4)))
+        + f"</ul><p>© 2024 {_sentence(rng, 2, 3)}. All rights reserved.</p></footer>"
+    )
+    comments = (
+        '<section class="comments"><h3>Comments</h3>'
+        + "".join(f'<div class="comment"><a href="/u{i}">user{i}</a> says ok</div>' for i in range(rng.randint(0, 3)))
+        + "</section>"
+    )
+
+    body_paras = "".join(f"<p>{_html.escape(p)}</p>" for p in paras)
+    doc = (
+        "<!DOCTYPE html><html><head>"
+        f"<title>{_html.escape(title)} | ExampleSite</title>"
+        '<meta charset="utf-8"><script>var x=1;</script>'
+        "<style>.ad{color:red}</style></head><body>"
+        f'<header><h1 class="site-logo"><a href="/">ExampleSite</a></h1></header>'
+        f'{cookie}<nav class="navbar main-menu"><ul>{nav}</ul></nav>'
+        '<div class="layout">'
+        f'<aside class="sidebar">{side}</aside>'
+        '<main class="content"><article class="post">'
+        f"<h1>{_html.escape(title)}</h1>{ads}{body_paras}"
+        f"</article>{comments}</main>"
+        f"</div>{footer}</body></html>"
+    )
+
+    host = f"site{page_id % 997:03d}.example.{lang if lang != 'zh' else 'cn'}"
+    return {
+        "url": f"https://{host}/p/{page_id:09d}",
+        "warc_ts": _EPOCH + _dt.timedelta(seconds=(page_id * 37) % 31_536_000),
+        "html": doc.encode("utf-8"),
+        "text": truth,
+        "lang": lang,
+    }
+
+
+def make_pages(n: int, seed: int = 42) -> list[dict]:
+    return [make_page(i, seed) for i in range(n)]
+
+
+PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
+
+
+def pages_dataframe(spark, n: int, seed: int = 42, partitions: int | None = None):
+    """Distributed pages source: generation runs on executors via
+    ``mapInPandas`` over ``spark.range`` — the local stand-in for the
+    Iceberg `pages` scan, shaped so swapping in
+    ``spark.read.format("iceberg")`` is a one-line change."""
+    import pandas as pd
+
+    if partitions is None:
+        partitions = max(1, spark.sparkContext.defaultParallelism)
+
+    def gen(batches):
+        for pdf in batches:
+            rows = [make_page(int(i), seed) for i in pdf["id"]]
+            yield pd.DataFrame(
+                {
+                    "url": [r["url"] for r in rows],
+                    "warc_ts": [r["warc_ts"] for r in rows],
+                    "html": [r["html"] for r in rows],
+                    "text": [r["text"] for r in rows],
+                    "lang": [r["lang"] for r in rows],
+                }
+            )
+
+    return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=PAGES_SCHEMA)
