@@ -1,0 +1,99 @@
+"""Deduplication operators, DataFrame API.
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup as composable
+transforms — the same logic as the SQL battery (single source of
+truth: :mod:`gluon_ocr_spark.functions.portable`).
+
+Scale notes (the part that matters at 10^12 docs):
+
+* exact dedup is one hash-shuffle with map-side combine;
+* minhash bands turn near-dup detection into an equi-join on
+  (band_id, band_key) — shuffle-key join, never a cross join;
+* candidate pairs are verified with exact Jaccard only within the
+  (tiny) band buckets;
+* skewed buckets (boilerplate-identical docs) are AQE-split, and the
+  bucket join key includes band_id so one hot band can't serialize.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import portable as pt
+from ..functions.portable import SPARK
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Groups by content hash; returns (content_fp, canonical_id, n_dups)."""
+    return (
+        df.select(F.col(id_col), F.md5(F.lower(F.col(text_col))).alias("content_fp"))
+        .groupBy("content_fp")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keeps only the canonical (min-id) row per content hash — the
+    actual 'dedup the corpus' operator. Window over the hash key."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.md5(F.lower(F.col(text_col)))).orderBy(F.col(id_col))
+    return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
+
+
+def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(id, band_id, band_key) — LSH banding of minhash signatures."""
+    codes = df.select(F.col(id_col), F.expr(pt.token_codes(text_col, SPARK)).alias("codes"))
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    parts = [
+        codes.select(
+            F.col(id_col),
+            F.lit(band).alias("band_id"),
+            F.expr(pt.band_key_expr("codes", band, SPARK)).alias("band_key"),
+        )
+        for band in range(n_bands)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Distinct candidate near-dup pairs via band-bucket equi-join."""
+    bands = minhash_bands(df, id_col, text_col)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+
+
+def simhash_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    codes = pt.token_codes(text_col, SPARK)
+    return (
+        df.select(F.col(id_col), F.expr(pt.simhash16_expr(codes, SPARK)).alias("simhash16"))
+        .groupBy("simhash16")
+        .agg(F.min(id_col).alias("canonical_id"), F.count("*").alias("n_docs"))
+    )
+
+
+def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text_col: str = "text", threshold: float = 0.8) -> DataFrame:
+    """Verify candidate pairs with exact token-set Jaccard. Joins the
+    (small) pair list back to the corpus twice — both joins are
+    key-equi joins on the id."""
+    ts = df.select(F.col(id_col), F.expr(pt.arr_distinct(pt.tokens(text_col, SPARK), SPARK)).alias("ts"))
+    j = (
+        pairs.join(ts.withColumnRenamed(id_col, "doc_a").withColumnRenamed("ts", "ts_a"), "doc_a")
+        .join(ts.withColumnRenamed(id_col, "doc_b").withColumnRenamed("ts", "ts_b"), "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(ts_a, ts_b))"))
+        .withColumn("jaccard", F.expr("cast(inter as double) / (size(ts_a) + size(ts_b) - inter)"))
+    )
+    return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))

@@ -1,0 +1,110 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Treats media as opaque ``binary`` columns with typed metadata, exactly
+as the engine treats page payloads. The Spark-side plumbing — schema,
+Arrow batching, partitioning, UDF signatures — is real and tested; the
+codec step is STUBBED because no image/audio libraries exist in this
+container: ``decode_media`` falls back to a clearly-marked
+deterministic fake (dimensions derived from the payload digest) and
+``decode_media_strict`` raises ``NotImplementedError`` so callers
+can't mistake the fake for a real decode.
+
+On a real cluster, swapping ``_fake_decode`` for a cv2/PIL/librosa
+call is the only change; everything else (batch shape, schema,
+broadcast of codec params) is already the production path. This
+mirrors how the reference's ``cv2.imdecode`` would slot in
+(``gluonocr/data/data_utils.py:123-131``).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+
+MEDIA_META_SCHEMA = (
+    "media_id string, kind string, n_bytes bigint, digest string, "
+    "width int, height int, n_frames int, decoder string"
+)
+
+_MAGIC = {
+    b"\x89PNG": "image/png",
+    b"\xff\xd8\xff": "image/jpeg",
+    b"RIFF": "audio/wav",
+    b"\x1a\x45\xdf\xa3": "video/webm",
+}
+
+
+def sniff_kind(payload: bytes) -> str:
+    for magic, kind in _MAGIC.items():
+        if payload[: len(magic)] == magic:
+            return kind
+    return "application/octet-stream"
+
+
+def _fake_decode(payload: bytes) -> tuple[int, int, int]:
+    """Deterministic stand-in decode: pseudo (width, height, n_frames)
+    derived from the content digest. NOT a real decode — marked via
+    the ``decoder='fake-deterministic'`` output column."""
+    h = hashlib.sha256(payload).digest()
+    width = 64 + int.from_bytes(h[0:2], "big") % 4032
+    height = 64 + int.from_bytes(h[2:4], "big") % 3024
+    n_frames = 1 + int.from_bytes(h[4:6], "big") % 240
+    return width, height, n_frames
+
+
+def decode_media_strict(payload: bytes):
+    """Real decode hook — intentionally unimplemented in this container."""
+    raise NotImplementedError(
+        "media decoding requires cv2/PIL/librosa, not available in this "
+        "environment; production deployments plug the codec in here"
+    )
+
+
+def media_metadata(media: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """media(media_id, payload binary) → typed metadata table.
+
+    Arrow-batched mapInPandas; payloads never leave the executor, only
+    small metadata rows shuffle — the pattern that keeps a 100TB media
+    table tractable (bytes stay columnar-local; metadata is the only
+    thing that moves)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("media_id", "kind", "n_bytes", "digest", "width", "height", "n_frames", "decoder")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                w, h, f = _fake_decode(b)
+                out["media_id"].append(str(mid))
+                out["kind"].append(sniff_kind(b))
+                out["n_bytes"].append(len(b))
+                out["digest"].append(hashlib.sha256(b).hexdigest()[:16])
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_frames"].append(f)
+                out["decoder"].append("fake-deterministic")
+            yield pd.DataFrame(out)
+
+    return media.select(id_col, payload_col).mapInPandas(gen, schema=MEDIA_META_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_n: int = 30, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
+    """Frame-sampling plumbing: one output row per sampled frame with a
+    deterministic frame digest (decode stubbed, batch shape real)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, frames, digests = [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(payload) if payload is not None else b""
+                _, _, n_frames = _fake_decode(b)
+                for i in range(0, n_frames, every_n):
+                    ids.append(str(mid))
+                    frames.append(i)
+                    digests.append(hashlib.sha256(b + i.to_bytes(4, "big")).hexdigest()[:16])
+            yield pd.DataFrame({"media_id": ids, "frame_idx": frames, "frame_digest": digests})
+
+    return media.select(id_col, payload_col).mapInPandas(gen, schema="media_id string, frame_idx int, frame_digest string")

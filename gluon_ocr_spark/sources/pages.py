@@ -63,25 +63,10 @@ def _paragraph(rng: random.Random) -> str:
     return " ".join(_sentence(rng) for _ in range(rng.randint(1, 4)))
 
 
-def make_page(page_id: int, seed: int = 42) -> dict:
-    """Build one page deterministically from (seed, page_id)."""
-    rng = random.Random((seed << 20) ^ page_id)
-    lang = rng.choice(LANGS)
-
-    # --- main content (ground truth) ---
-    title = _sentence(rng, 3, 7).title()
-    # heavy tail: most pages a few paragraphs, some huge (skew driver)
-    r = rng.random()
-    if r < 0.02:
-        n_paras = rng.randint(120, 400)  # giant page
-    elif r < 0.2:
-        n_paras = rng.randint(20, 60)
-    else:
-        n_paras = rng.randint(1, 8)
-    paras = [_paragraph(rng) for _ in range(n_paras)]
-    truth_lines = [title] + paras
-    truth = "\n".join(truth_lines)
-
+def render_page_html(rng: random.Random, paras: list[str], title: str | None = None) -> str:
+    """Render main-content paragraphs (+ optional title) inside
+    deterministic boilerplate chrome. The extraction contract: the
+    pipeline must recover exactly ``'\\n'.join([title?] + paras)``."""
     # --- boilerplate chrome ---
     nav = "".join(f'<li><a href="/{w.lower()}">{w}</a></li>' for w in rng.sample(BOILER_LINKS, 6))
     side = "".join(
@@ -101,9 +86,11 @@ def make_page(page_id: int, seed: int = 42) -> dict:
     )
 
     body_paras = "".join(f"<p>{_html.escape(p)}</p>" for p in paras)
-    doc = (
+    h1 = f"<h1>{_html.escape(title)}</h1>" if title is not None else ""
+    page_title = _html.escape(title) if title is not None else "ExampleSite"
+    return (
         "<!DOCTYPE html><html><head>"
-        f"<title>{_html.escape(title)} | ExampleSite</title>"
+        f"<title>{page_title} | ExampleSite</title>"
         '<meta charset="utf-8"><script>var x=1;</script>'
         "<style>.ad{color:red}</style></head><body>"
         f'<header><h1 class="site-logo"><a href="/">ExampleSite</a></h1></header>'
@@ -111,10 +98,30 @@ def make_page(page_id: int, seed: int = 42) -> dict:
         '<div class="layout">'
         f'<aside class="sidebar">{side}</aside>'
         '<main class="content"><article class="post">'
-        f"<h1>{_html.escape(title)}</h1>{ads}{body_paras}"
+        f"{h1}{ads}{body_paras}"
         f"</article>{comments}</main>"
         f"</div>{footer}</body></html>"
     )
+
+
+def make_page(page_id: int, seed: int = 42) -> dict:
+    """Build one page deterministically from (seed, page_id)."""
+    rng = random.Random((seed << 20) ^ page_id)
+    lang = rng.choice(LANGS)
+
+    # --- main content (ground truth) ---
+    title = _sentence(rng, 3, 7).title()
+    # heavy tail: most pages a few paragraphs, some huge (skew driver)
+    r = rng.random()
+    if r < 0.02:
+        n_paras = rng.randint(120, 400)  # giant page
+    elif r < 0.2:
+        n_paras = rng.randint(20, 60)
+    else:
+        n_paras = rng.randint(1, 8)
+    paras = [_paragraph(rng) for _ in range(n_paras)]
+    truth = "\n".join([title] + paras)
+    doc = render_page_html(rng, paras, title=title)
 
     host = f"site{page_id % 997:03d}.example.{lang if lang != 'zh' else 'cn'}"
     return {
@@ -157,3 +164,33 @@ def pages_dataframe(spark, n: int, seed: int = 42, partitions: int | None = None
             )
 
     return spark.range(0, n, 1, partitions).mapInPandas(gen, schema=PAGES_SCHEMA)
+
+
+def wrap_text_as_page(doc_id: int, text: str) -> bytes:
+    """Embed a known main-content text into full boilerplate chrome,
+    deterministically from doc_id. Extraction must recover ``text``
+    byte-identically (paragraphs = text split on newlines; no title)."""
+    rng = random.Random(0x5EED ^ (doc_id * 2654435761 % (1 << 32)))
+    paras = text.split("\n")
+    return render_page_html(rng, paras, title=None).encode("utf-8")
+
+
+def wrap_documents(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """documents(doc_id, text, …) → pages(doc_id, url, html).
+
+    Arrow-batched (mapInPandas); used by the driver-facing round-trip
+    query: wrap → extract must be the identity on `text`.
+    """
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "url": [f"doc://{i}" for i in pdf[id_col]],
+                    "html": [wrap_text_as_page(int(i), t) for i, t in zip(pdf[id_col], pdf[text_col])],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema="doc_id bigint, url string, html binary")
