@@ -134,10 +134,13 @@ def plane_literal(i: int, d: str) -> str:
     return f"array({vals})" if d == SPARK else f"[{vals}]"
 
 
-def lsh_bucket_expr(qvec: str, d: str) -> str:
-    """LSH_BITS-bit bucket id from hyperplane sign bits (exact ints)."""
+def lsh_bucket_expr(qvec: str, d: str, n_bits: int = LSH_BITS) -> str:
+    """n_bits-bit bucket id from hyperplane sign bits (exact ints).
+
+    Fewer bits ⇒ bigger buckets ⇒ higher recall & more compute — the
+    standard hyperplane-LSH tradeoff; callers tune per corpus."""
     terms = []
-    for i in range(LSH_BITS):
+    for i in range(n_bits):
         dot = int_dot(plane_literal(i, d), qvec, d)
         terms.append(f"(case when {dot} > 0 then {1 << i} else 0 end)")
     return "(" + " + ".join(terms) + ")"

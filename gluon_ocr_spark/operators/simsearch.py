@@ -48,9 +48,9 @@ def topk_exact(
     return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
 
 
-def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def with_lsh_bucket(df: DataFrame, vec_col: str = "embedding", n_bits: int = pt.LSH_BITS) -> DataFrame:
     q = quantize(df, vec_col)
-    return q.withColumn("bucket", F.expr(pt.lsh_bucket_expr("q", SPARK)))
+    return q.withColumn("bucket", F.expr(pt.lsh_bucket_expr("q", SPARK, n_bits)))
 
 
 def topk_lsh(
@@ -60,13 +60,14 @@ def topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    n_bits: int = pt.LSH_BITS,
 ) -> DataFrame:
     """ANN top-k within the query's LSH bucket: bucket equi-join
     (shuffle-key join) instead of a cross join."""
-    c = with_lsh_bucket(corpus, vec_col).select(
+    c = with_lsh_bucket(corpus, vec_col, n_bits).select(
         F.col(id_col).alias("neighbor_id"), F.col("q").alias("cq"), "bucket"
     )
-    qd = with_lsh_bucket(queries, vec_col).select(
+    qd = with_lsh_bucket(queries, vec_col, n_bits).select(
         F.col(id_col).alias(query_id_col), F.col("q").alias("qq"), F.col("bucket").alias("qbucket")
     )
     dot = pt.int_dot("qq", "cq", SPARK)

@@ -1,0 +1,73 @@
+"""Streaming extraction + windowed event aggregation.
+
+The batch extraction operator is stateless per page, so it lifts to
+Structured Streaming unchanged: ``readStream`` over the pages table
+(file source here; Iceberg/Kafka in production) → the same
+``mapInPandas`` extraction kernel → ``writeStream`` with checkpointing.
+Exactly-once then comes from the sink's commit log instead of the
+batch lineage table — the streaming twin of plans/lineage.py.
+
+``hourly_event_counts`` shows the watermark + tumbling-window pattern
+for late data (the streaming twin of queries.sql_events_hourly).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.extract import _extract_batches, DOCS_SCHEMA
+from ..sources.pages import PAGES_SCHEMA
+
+
+def read_pages_stream(spark: SparkSession, pages_dir: str, max_files_per_trigger: int | None = None) -> DataFrame:
+    reader = spark.readStream.schema(PAGES_SCHEMA)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(pages_dir)
+
+
+def extract_docs_stream(pages: DataFrame) -> DataFrame:
+    """Streaming extraction: identical kernel, identical output schema."""
+    return pages.select("url", "html").mapInPandas(_extract_batches, schema=DOCS_SCHEMA)
+
+
+def run_extract_stream(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """File-source → extraction → parquet sink with checkpoint.
+
+    ``availableNow`` drains the backlog and stops — the test/bench
+    mode; continuous triggers are the production mode."""
+    docs = extract_docs_stream(read_pages_stream(spark, pages_dir))
+    writer = (
+        docs.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Tumbling 1-hour windowed counts with a watermark for late rows.
+
+    State is bounded by the watermark horizon — the property that lets
+    this run forever on an unbounded 100TB/day stream."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )

@@ -1,0 +1,131 @@
+"""DataFrame-API analytics operators: dedup, simsearch, textstats,
+multimodal plumbing — consistency with the SQL battery / NumPy oracles."""
+
+import hashlib
+
+import numpy as np
+import pytest
+
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet").cache()
+
+
+def test_exact_dedup_counts(spark, docs):
+    from gluon_ocr_spark.operators.dedup import drop_exact_dups, exact_dedup
+
+    total = docs.count()
+    groups = exact_dedup(docs)
+    assert groups.agg(F.sum("n_dups")).collect()[0][0] == total
+    kept = drop_exact_dups(docs)
+    assert kept.count() == groups.count()
+
+
+def test_minhash_pairs_symmetric_and_verified(spark, docs):
+    from gluon_ocr_spark.operators.dedup import jaccard_verify, minhash_candidate_pairs
+
+    small = docs.limit(80)
+    pairs = minhash_candidate_pairs(small)
+    rows = pairs.collect()
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
+    verified = jaccard_verify(small, pairs, threshold=0.9).collect()
+    assert all(r["jaccard"] >= 0.9 for r in verified)
+
+
+def test_topk_exact_matches_numpy(spark, emb):
+    from gluon_ocr_spark.operators.simsearch import topk_exact
+
+    queries = emb.where(F.col("vec_id") < 3)
+    got = topk_exact(emb, queries, k=4).collect()
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    mat = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 10000).astype(np.int64)
+    ids = pdf["vec_id"].to_numpy()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid, rows in by_q.items():
+        rows.sort(key=lambda r: r["rnk"])
+        qv = mat[ids == qid][0]
+        dots = mat @ qv
+        order = sorted(
+            [(int(d), int(i)) for d, i in zip(dots, ids) if i != qid],
+            key=lambda t: (-t[0], t[1]),
+        )[:4]
+        assert [(r["dot"], r["neighbor_id"]) for r in rows] == order
+
+
+def test_lsh_recall_vs_exact(spark, emb):
+    """LSH top-k must agree with exact top-k whenever the true neighbor
+    shares the query's bucket (sanity: reasonable non-zero recall)."""
+    from gluon_ocr_spark.operators.simsearch import topk_exact, topk_lsh
+
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = {(r["query_id"], r["neighbor_id"]) for r in topk_exact(emb, queries, k=5).collect()}
+    approx = {(r["query_id"], r["neighbor_id"]) for r in topk_lsh(emb, queries, k=5, n_bits=2).collect()}
+    assert approx  # buckets are populated
+    # with 2 hyperplanes P(collide) ≈ (1-θ/π)^2 — material recall even
+    # on random data; any LSH hit must also be an exact-ranked pair
+    recall = len(exact & approx) / len(exact)
+    assert recall > 0.1
+
+
+def test_lang_id_and_quality_columns(spark):
+    from gluon_ocr_spark.operators.textstats import with_lang_id, with_quality, with_token_stats
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat is in the hat and it is happy for now"),
+            (2, "der hund ist nicht mit der katze und das ist gut"),
+            (3, "el perro es una mascota para la casa con los gatos"),
+        ],
+        "doc_id bigint, text string",
+    )
+    out = {r["doc_id"]: r for r in with_lang_id(with_quality(with_token_stats(df))).collect()}
+    assert out[1]["lang_pred"] == "en"
+    assert out[2]["lang_pred"] == "de"
+    assert out[3]["lang_pred"] == "es"
+    assert out[1]["n_tokens"] == 12
+    assert out[1]["quality_ok"] is True
+
+
+def test_multimodal_metadata_plumbing(spark):
+    from gluon_ocr_spark.operators.multimodal import frame_sample, media_metadata
+
+    payloads = [
+        ("m1", b"\x89PNG\r\n" + b"x" * 100),
+        ("m2", b"\xff\xd8\xff\xe0" + b"y" * 50),
+        ("m3", b"RIFF....WAVE"),
+        ("m4", b"plainbytes"),
+        ("m5", None),
+    ]
+    df = spark.createDataFrame(payloads, "media_id string, payload binary")
+    meta = {r["media_id"]: r for r in media_metadata(df).collect()}
+    assert meta["m1"]["kind"] == "image/png"
+    assert meta["m2"]["kind"] == "image/jpeg"
+    assert meta["m3"]["kind"] == "audio/wav"
+    assert meta["m4"]["kind"] == "application/octet-stream"
+    assert meta["m1"]["n_bytes"] == 106
+    assert meta["m5"]["n_bytes"] == 0
+    assert meta["m1"]["digest"] == hashlib.sha256(payloads[0][1]).hexdigest()[:16]
+    assert all(r["decoder"] == "fake-deterministic" for r in meta.values())
+
+    frames = frame_sample(df.where(F.col("media_id") == "m1"), every_n=10).collect()
+    w = meta["m1"]
+    assert len(frames) == (w["n_frames"] + 9) // 10
+    assert [f["frame_idx"] for f in sorted(frames, key=lambda r: r["frame_idx"])][0] == 0
+
+
+def test_decode_strict_raises():
+    from gluon_ocr_spark.operators.multimodal import decode_media_strict
+
+    with pytest.raises(NotImplementedError):
+        decode_media_strict(b"\x89PNG")
