@@ -1,0 +1,51 @@
+"""spark-submit entry point.
+
+Production invocation (north rule):
+
+    spark-submit --py-files gluon_ocr_spark.zip -m gluon_ocr_spark \
+        --pages <iceberg-or-parquet-path> --out <warehouse-path> \
+        [--partitions N] [--resume]
+
+In the sandbox, ``--synthetic N`` generates the seeded corpus instead
+of reading a lake table. The job is always resumable: re-running with
+the same ``--out`` anti-joins committed urls (plans/lineage.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser(prog="gluon_ocr_spark")
+    ap.add_argument("--pages", help="input pages table path (parquet/Iceberg)")
+    ap.add_argument("--synthetic", type=int, default=0, help="generate N synthetic pages instead of reading --pages")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--out", required=True, help="output warehouse dir (docs + _lineage)")
+    ap.add_argument("--partitions", type=int, default=None, help="salt-repartition width (defaults to cluster parallelism)")
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from .plans.lineage import ExtractionJob
+    from .session import make_session
+    from .sources.pages import pages_dataframe
+
+    spark = make_session(app="gluon-ocr-spark-extract", master=args.master)
+    try:
+        if args.synthetic:
+            pages = pages_dataframe(spark, args.synthetic, seed=args.seed)
+        elif args.pages:
+            pages = spark.read.parquet(args.pages)
+        else:
+            ap.error("one of --pages / --synthetic is required")
+        n_parts = args.partitions or spark.sparkContext.defaultParallelism
+        job = ExtractionJob(args.out, num_partitions=n_parts)
+        stats = job.run(spark, pages)
+        print(json.dumps(stats))
+    finally:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
