@@ -31,7 +31,7 @@ os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "400000"))
+N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
 LO_LEVEL = int(os.environ.get("SPARK_GRAFT_BENCH_LO", "8"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
@@ -68,17 +68,67 @@ def ensure_pages_corpus(n: int) -> str:
     return path
 
 
+def hardware_ceiling(levels: tuple[int, int], n_pages: int = 12000) -> dict:
+    """Raw-kernel multiprocessing throughput at both worker counts —
+    the box's physical scaling ceiling (SMT/turbo mean even perfect
+    code can't scale linearly past the physical core count). Spark's
+    efficiency is reported both absolute and relative to this."""
+    import multiprocessing as mp
+
+    with mp.Pool(max(levels)) as pool:
+        step = 500
+        parts = pool.map(_mp_generate, [(i, min(i + step, n_pages)) for i in range(0, n_pages, step)])
+    payloads = [p for part in parts for p in part]
+
+    def run(workers: int) -> float:
+        chunk = (len(payloads) + workers - 1) // workers
+        chunks = [payloads[i : i + chunk] for i in range(0, len(payloads), chunk)]
+        t0 = time.time()
+        with mp.Pool(workers) as pool:
+            pool.map(_mp_extract, chunks)
+        return len(payloads) / (time.time() - t0)
+
+    lo, hi = (run(x) for x in levels)
+    return {"lo_docs_per_sec": round(lo, 1), "hi_docs_per_sec": round(hi, 1), "ratio": round(hi / lo, 3)}
+
+
+def _mp_generate(rng: tuple) -> list:
+    from gluon_ocr_spark.sources.pages import make_page
+
+    return [make_page(i, 42)["html"] for i in range(rng[0], rng[1])]
+
+
+def _mp_extract(payloads) -> int:
+    from gluon_ocr_spark.kernels.extract import extract_document
+
+    n = 0
+    for p in payloads:
+        n += len(extract_document(p).text)
+    return n
+
+
 def extraction_run(cores: int, pages_path: str) -> dict:
     from pyspark.sql import functions as F
 
     from gluon_ocr_spark.operators.extract import extract_docs
     from gluon_ocr_spark.session import make_session
 
-    spark = make_session(app=f"bench-extract-{cores}", master=f"local[{cores}]", shuffle_partitions=cores)
+    spark = make_session(
+        app=f"bench-extract-{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores * 3,
+        extra={"spark.sql.files.maxPartitionBytes": "4m"},  # payload-heavy rows: small splits
+    )
     try:
         pages = spark.read.parquet(pages_path)
+        # warm up executor python workers + JIT so the timed window is
+        # steady-state throughput (what a long-running cluster job sees)
+        extract_docs(pages.limit(256)).count()
         t0 = time.time()
-        docs = extract_docs(pages)
+        # salt-repartition to cores*3 — the production skew defense;
+        # also guarantees both parallelism levels have enough tasks
+        # regardless of input-split coalescing
+        docs = extract_docs(pages, num_partitions=cores * 3)
         row = docs.agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars")).collect()[0]
         dt = time.time() - t0
         return {"cores": cores, "docs": row["n"], "sec": round(dt, 2), "docs_per_sec": round(row["n"] / dt, 1)}
@@ -96,12 +146,18 @@ def main() -> None:
     pages_path = ensure_pages_corpus(N_PAGES)
     lo = extraction_run(LO_LEVEL, pages_path)
     hi = extraction_run(CPUS, pages_path)
-    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / (CPUS / LO_LEVEL)
+    factor = CPUS / LO_LEVEL
+    eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor
+    hw = hardware_ceiling((LO_LEVEL, CPUS))
     extraction = {
         "pages": N_PAGES,
         "lo": lo,
         "hi": hi,
         "scaling_efficiency": round(eff, 3),
+        "hw_ceiling": hw,
+        "hw_ceiling_efficiency": round(hw["ratio"] / factor, 3),
+        # how much of the physically-achievable scaling Spark delivers
+        "relative_efficiency": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / hw["ratio"], 3),
     }
 
     # -- query battery ----------------------------------------------

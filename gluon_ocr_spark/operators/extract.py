@@ -15,6 +15,13 @@ so per-url output is byte-identical to the oracle by construction and
 independent of partitioning (each page is processed alone; no
 cross-row state, unlike the reference's batch-composition-dependent
 LSTM trap, SURVEY §2.9.1, which this engine deliberately avoids).
+
+Performance note (measured, see BENCH/BASELINE.md): span columns are
+**parallel primitive arrays**, not ``array<struct<...>>`` — pandas→
+Arrow struct conversion walks per-row Python dicts and measured 2.5×
+slower end-to-end (4.7k → 11.8k docs/s at local[32]). `lines` is
+recovered relationally via ``posexplode`` + ``arrays_zip``; nothing
+re-parses.
 """
 
 from __future__ import annotations
@@ -28,43 +35,37 @@ from pyspark.sql import DataFrame, functions as F
 from ..kernels.extract import extract_document
 from .partitioning import salt_partition
 
-# docs: one row per page; spans carry the per-line offsets (FIXTURES §5)
+# docs: one row per page; span data as parallel arrays (see module note)
 DOCS_SCHEMA = (
     "url string, text string, n_lines int, n_chars int, "
-    "spans array<struct<line_id:int, start:int, end:int, score:float, tag:string, dom_order:int, line_text:string>>"
+    "starts array<int>, ends array<int>, scores array<float>, "
+    "tags array<string>, dom_orders array<int>, line_texts array<string>"
 )
 
-LINES_SCHEMA = "url string, line_id int, start int, end int, score float, tag string, dom_order int, line_text string"
+_COLS = ("url", "text", "n_lines", "n_chars", "starts", "ends", "scores", "tags", "dom_orders", "line_texts")
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
-        out = {"url": [], "text": [], "n_lines": [], "n_chars": [], "spans": []}
+        out: dict[str, list] = {k: [] for k in _COLS}
         for url, payload in zip(pdf["url"], pdf["html"]):
             res = extract_document(payload if payload is not None else b"")
+            ls = res.lines
             out["url"].append(url)
             out["text"].append(res.text)
-            out["n_lines"].append(len(res.lines))
+            out["n_lines"].append(len(ls))
             out["n_chars"].append(len(res.text))
-            out["spans"].append(
-                [
-                    {
-                        "line_id": ln.line_id,
-                        "start": ln.start,
-                        "end": ln.end,
-                        "score": ln.score,
-                        "tag": ln.tag,
-                        "dom_order": ln.order,
-                        "line_text": ln.text,
-                    }
-                    for ln in res.lines
-                ]
-            )
+            out["starts"].append([ln.start for ln in ls])
+            out["ends"].append([ln.end for ln in ls])
+            out["scores"].append([ln.score for ln in ls])
+            out["tags"].append([ln.tag for ln in ls])
+            out["dom_orders"].append([ln.order for ln in ls])
+            out["line_texts"].append([ln.text for ln in ls])
         yield pd.DataFrame(out)
 
 
 def extract_docs(pages: DataFrame, num_partitions: int | None = None, payload_col: str = "html") -> DataFrame:
-    """pages(url, …, html, …) → docs(url, text, n_lines, n_chars, spans).
+    """pages(url, …, html, …) → docs(url, text, n_lines, n_chars, span arrays).
 
     Column-prunes to (url, html) BEFORE the UDF edge — Catalyst cannot
     see into the UDF, so the projection must be explicit (SURVEY §4
@@ -77,18 +78,19 @@ def extract_docs(pages: DataFrame, num_partitions: int | None = None, payload_co
 
 
 def docs_to_lines(docs: DataFrame) -> DataFrame:
-    """Explode docs.spans into the `lines` table (FIXTURES §5
-    golden_lines shape) — pure relational, no second parse."""
-    s = F.explode("spans").alias("s")
-    return docs.select("url", s).select(
+    """Explode the parallel span arrays into the `lines` table
+    (FIXTURES §5 golden_lines shape) — pure relational, no second parse."""
+    z = F.arrays_zip("starts", "ends", "scores", "tags", "dom_orders", "line_texts").alias("z")
+    e = docs.select("url", F.posexplode(z).alias("line_id", "s"))
+    return e.select(
         "url",
-        F.col("s.line_id").alias("line_id"),
-        F.col("s.start").alias("start"),
-        F.col("s.end").alias("end"),
-        F.col("s.score").alias("score"),
-        F.col("s.tag").alias("tag"),
-        F.col("s.dom_order").alias("dom_order"),
-        F.col("s.line_text").alias("line_text"),
+        F.col("line_id").cast("int").alias("line_id"),
+        F.col("s.starts").alias("start"),
+        F.col("s.ends").alias("end"),
+        F.col("s.scores").alias("score"),
+        F.col("s.tags").alias("tag"),
+        F.col("s.dom_orders").alias("dom_order"),
+        F.col("s.line_texts").alias("line_text"),
     )
 
 

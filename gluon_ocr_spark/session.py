@@ -45,6 +45,10 @@ def make_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
         .config("spark.ui.enabled", "false")
+        # single-node sandbox: shuffle/spill on tmpfs (measured 2.4×
+        # on the salt-shuffle path vs /tmp disk); real clusters point
+        # this at executor-local NVMe instead
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIRS", "/dev/shm/spark-local"))
     )
     for k, v in (extra or {}).items():
         b = b.config(k, v)
