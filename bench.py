@@ -81,11 +81,11 @@ def hardware_ceiling(levels: tuple[int, int], n_pages: int = 12000) -> dict:
     payloads = [p for part in parts for p in part]
 
     def run(workers: int) -> float:
-        chunk = (len(payloads) + workers - 1) // workers
-        chunks = [payloads[i : i + chunk] for i in range(0, len(payloads), chunk)]
+        # many small chunks → no last-chunk straggler skew
+        chunks = [payloads[i : i + 200] for i in range(0, len(payloads), 200)]
         t0 = time.time()
         with mp.Pool(workers) as pool:
-            pool.map(_mp_extract, chunks)
+            pool.map(_mp_extract, chunks, chunksize=1)
         return len(payloads) / (time.time() - t0)
 
     lo, hi = (run(x) for x in levels)
@@ -107,7 +107,7 @@ def _mp_extract(payloads) -> int:
     return n
 
 
-def extraction_run(cores: int, pages_path: str) -> dict:
+def _extraction_run_inproc(cores: int, pages_path: str) -> dict:
     from pyspark.sql import functions as F
 
     from gluon_ocr_spark.operators.extract import extract_docs
@@ -134,6 +134,22 @@ def extraction_run(cores: int, pages_path: str) -> dict:
         return {"cores": cores, "docs": row["n"], "sec": round(dt, 2), "docs_per_sec": round(row["n"] / dt, 1)}
     finally:
         spark.stop()
+
+
+def extraction_run(cores: int, pages_path: str) -> dict:
+    """Run one measurement in a FRESH subprocess: a second SparkSession
+    inside an already-used JVM measures 2-3x slower (lingering
+    daemons/heap state), which inverts scaling numbers. Each level
+    gets its own interpreter + JVM, like separate spark-submit runs."""
+    import subprocess
+
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--extract-level", str(cores), pages_path],
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
 
 
 def main() -> None:
@@ -190,4 +206,7 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    if len(sys.argv) >= 4 and sys.argv[1] == "--extract-level":
+        print(json.dumps(_extraction_run_inproc(int(sys.argv[2]), sys.argv[3])))
+    else:
+        main()
