@@ -68,28 +68,29 @@ def ensure_pages_corpus(n: int) -> str:
     return path
 
 
-def hardware_ceiling(levels: tuple[int, int], n_pages: int = 12000) -> dict:
-    """Raw-kernel multiprocessing throughput at both worker counts —
-    the box's physical scaling ceiling (SMT/turbo mean even perfect
-    code can't scale linearly past the physical core count). Spark's
-    efficiency is reported both absolute and relative to this."""
+def hw_payloads(n_pages: int = 8000) -> list:
     import multiprocessing as mp
 
-    with mp.Pool(max(levels)) as pool:
+    with mp.Pool(16) as pool:
         step = 500
         parts = pool.map(_mp_generate, [(i, min(i + step, n_pages)) for i in range(0, n_pages, step)])
-    payloads = [p for part in parts for p in part]
+    return [p for part in parts for p in part]
 
-    def run(workers: int) -> float:
-        # many small chunks → no last-chunk straggler skew
-        chunks = [payloads[i : i + 200] for i in range(0, len(payloads), 200)]
-        t0 = time.time()
-        with mp.Pool(workers) as pool:
-            pool.map(_mp_extract, chunks, chunksize=1)
-        return len(payloads) / (time.time() - t0)
 
-    lo, hi = (run(x) for x in levels)
-    return {"lo_docs_per_sec": round(lo, 1), "hi_docs_per_sec": round(hi, 1), "ratio": round(hi / lo, 3)}
+def hw_run(workers: int, payloads: list) -> float:
+    """Raw-kernel multiprocessing throughput at `workers` — the box's
+    instantaneous ceiling at that parallelism. Measured ADJACENT to
+    each Spark run because this host's throughput swings >2x over
+    minutes (shared/throttled); the efficiency that matters is
+    Spark's ratio relative to the hardware's ratio in the same
+    window."""
+    import multiprocessing as mp
+
+    chunks = [payloads[i : i + 200] for i in range(0, len(payloads), 200)]
+    t0 = time.time()
+    with mp.Pool(workers) as pool:
+        pool.map(_mp_extract, chunks, chunksize=1)
+    return len(payloads) / (time.time() - t0)
 
 
 def _mp_generate(rng: tuple) -> list:
@@ -160,20 +161,30 @@ def main() -> None:
 
     # -- extraction scaling (north-rule metric) --------------------
     pages_path = ensure_pages_corpus(N_PAGES)
+    payloads = hw_payloads()
+    # interleave hw baseline with each Spark level: the host's
+    # throughput drifts >2x over minutes, so only same-window
+    # comparisons are meaningful
+    hw_lo = hw_run(LO_LEVEL, payloads)
     lo = extraction_run(LO_LEVEL, pages_path)
+    hw_hi = hw_run(CPUS, payloads)
     hi = extraction_run(CPUS, pages_path)
     factor = CPUS / LO_LEVEL
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor
-    hw = hardware_ceiling((LO_LEVEL, CPUS))
+    hw_ratio = hw_hi / hw_lo
     extraction = {
         "pages": N_PAGES,
         "lo": lo,
         "hi": hi,
         "scaling_efficiency": round(eff, 3),
-        "hw_ceiling": hw,
-        "hw_ceiling_efficiency": round(hw["ratio"] / factor, 3),
+        "hw_ceiling": {
+            "lo_docs_per_sec": round(hw_lo, 1),
+            "hi_docs_per_sec": round(hw_hi, 1),
+            "ratio": round(hw_ratio, 3),
+        },
+        "hw_ceiling_efficiency": round(hw_ratio / factor, 3),
         # how much of the physically-achievable scaling Spark delivers
-        "relative_efficiency": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / hw["ratio"], 3),
+        "relative_efficiency": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / hw_ratio, 3),
     }
 
     # -- query battery ----------------------------------------------
