@@ -42,26 +42,34 @@ def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
 
 
 def minhash_bands(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, band_id, band_key) — LSH banding of minhash signatures."""
+    """(id, band_id, band_key) — LSH banding of minhash signatures.
+
+    Single corpus scan: all K sigs / band keys computed in one
+    projection and row-exploded via ``inline`` (a UNION-ALL-per-band
+    plan re-scans the corpus once per band — 8× in the self-join)."""
     codes = df.select(F.col(id_col), F.expr(pt.token_codes(text_col, SPARK)).alias("codes"))
     n_bands = pt.MINHASH_K // pt.BAND_ROWS
-    parts = [
-        codes.select(
-            F.col(id_col),
-            F.lit(band).alias("band_id"),
-            F.expr(pt.band_key_expr("codes", band, SPARK)).alias("band_key"),
-        )
+    structs = ", ".join(
+        f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, SPARK)})"
         for band in range(n_bands)
-    ]
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+    )
+    return codes.selectExpr(id_col, f"inline(array({structs}))")
 
 
-def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """Distinct candidate near-dup pairs via band-bucket equi-join."""
+def minhash_candidate_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", materialize: bool = True
+) -> DataFrame:
+    """Distinct candidate near-dup pairs via band-bucket equi-join.
+
+    ``materialize`` persists the bands before the self-join so the
+    minhash computation runs once, not once per join side. At lake
+    scale, write bands to a table bucketed by band_key instead and
+    the join becomes shuffle-free."""
     bands = minhash_bands(df, id_col, text_col)
+    if materialize:
+        from pyspark import StorageLevel
+
+        bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
     a = bands.alias("a")
     b = bands.alias("b")
     return (

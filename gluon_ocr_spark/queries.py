@@ -155,9 +155,24 @@ def sql_dedup_token_jaccard(d: str) -> str:
 def sql_dedup_minhash_bands(d: str) -> str:
     """MinHash signatures banded for LSH: one row per (doc, band).
     Classic shingle→minhash→band pipeline; the band_key is the
-    bucket-join key that makes dedup sub-quadratic at scale."""
+    bucket-join key that makes dedup sub-quadratic at scale.
+
+    Spark side uses a single scan + ``inline`` explode (one pass
+    computes all 16 sigs / 4 band keys per doc — the UNION ALL
+    formulation re-scanned the corpus once per band, 8× in the
+    self-join). The DuckDB oracle keeps the simpler UNION ALL; results
+    are identical."""
     codes = pt.token_codes("text", d)
     n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    if d == SPARK:
+        structs = ", ".join(
+            f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, d)})"
+            for band in range(n_bands)
+        )
+        return f"""
+    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents)
+    SELECT doc_id, inline(array({structs})) FROM c
+    """
     selects = []
     for band in range(n_bands):
         key = pt.band_key_expr("codes", band, d)

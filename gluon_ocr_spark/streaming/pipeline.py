@@ -54,6 +54,65 @@ def run_extract_stream(
     return writer.start()
 
 
+SESSION_OUT_SCHEMA = "user_id bigint, session_start_us bigint, session_end_us bigint, n_events bigint"
+SESSION_STATE_SCHEMA = "start_us bigint, last_us bigint, n bigint"
+SESSION_GAP_US = 30 * 60 * 1_000_000
+
+
+def _sessionize_group(key, pdf_iter, state):
+    """applyInPandasWithState body: per-user session folding.
+
+    State = the currently-open session (start, last-event, count).
+    Emits every session CLOSED by a 30-min gap; the trailing open
+    session stays in state for the next micro-batch. Arrow-batched,
+    no per-row Python UDF — the custom-stateful-operator pattern for
+    semantics Structured Streaming lacks natively (SURVEY §2 N6 note:
+    stateful scans live in UDFs)."""
+    import pandas as pd
+
+    (user_id,) = key
+    us = []
+    for pdf in pdf_iter:
+        us.extend(int(x) for x in pdf["us"])
+    us.sort()
+
+    if state.exists:
+        start, last, n = state.get
+    else:
+        start, last, n = None, None, 0
+
+    closed = []
+    for t in us:
+        if start is None:
+            start, last, n = t, t, 1
+        elif t - last > SESSION_GAP_US:
+            closed.append((user_id, start, last, n))
+            start, last, n = t, t, 1
+        else:
+            last, n = t, n + 1
+    if start is not None:
+        state.update((start, last, n))
+    if closed:
+        yield pd.DataFrame(closed, columns=["user_id", "session_start_us", "session_end_us", "n_events"])
+
+
+def sessionize_stream(events: DataFrame) -> DataFrame:
+    """Streaming sessionization via applyInPandasWithState (the
+    streaming twin of queries.sql_events_sessionize)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from pyspark.sql import functions as FF
+
+    with_us = events.select("user_id", FF.unix_micros(FF.col("ts").cast("timestamp")).alias("us"))
+    return with_us.groupBy("user_id").applyInPandasWithState(
+        _sessionize_group,
+        outputStructType=SESSION_OUT_SCHEMA,
+        stateStructType=SESSION_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour windowed counts with a watermark for late rows.
 
