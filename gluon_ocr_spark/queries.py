@@ -464,15 +464,82 @@ def extract_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_lines_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Line-level extraction: wrap → extract → posexplode spans.
+    Documents are single-line, so the oracle is exact: one line per
+    doc with full-width span offsets (drives the C1 lateral-explode
+    path through the gate)."""
+    from pyspark.sql import functions as F
+
+    from .operators.extract import extract_docs, docs_to_lines
+    from .sources.pages import wrap_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lines = docs_to_lines(extract_docs(wrap_documents(docs)))
+    return lines.select(
+        F.split_part(F.col("url"), F.lit("doc://"), F.lit(-1)).cast("bigint").alias("doc_id"),
+        "line_id",
+        "start",
+        "end",
+        F.col("line_text"),
+    )
+
+
+def extract_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite pipeline: extraction UDF output chained into the
+    relational token-stats operator. Oracle computes the same stats
+    directly on documents.text — passes iff extraction is the
+    identity AND the stats expressions match."""
+    from pyspark.sql import functions as F
+
+    from .operators.extract import extract_docs
+    from .operators.textstats import with_token_stats
+    from .sources.pages import wrap_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    extracted = extract_docs(wrap_documents(docs))
+    stats = with_token_stats(extracted)
+    return stats.select(
+        F.split_part(F.col("url"), F.lit("doc://"), F.lit(-1)).cast("bigint").alias("doc_id"),
+        "n_tokens",
+        F.col("n_chars").cast("int").alias("n_chars"),
+        "n_distinct_tokens",
+        "avg_token_len",
+    )
+
+
+def _oracle_extract_lines(d: str) -> str:
+    return """
+    SELECT doc_id, 0 AS line_id, 0 AS start, length(text) AS "end", text AS line_text
+    FROM documents
+    """
+
+
+def _oracle_extract_stats(d: str) -> str:
+    toks = pt.tokens("text", d)
+    n = pt.arr_size(toks, d)
+    nd = pt.arr_size(pt.arr_distinct(toks, d), d)
+    return f"""
+    SELECT doc_id, {n} AS n_tokens, length(text) AS n_chars,
+           {nd} AS n_distinct_tokens,
+           round(cast(length(text) - ({n} - 1) as double) / {n}, 4) AS avg_token_len
+    FROM documents
+    """
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(tmpl) for name, tmpl in SQL_QUERIES.items()
     }
     out["extract_roundtrip"] = extract_roundtrip_query
+    out["extract_lines"] = extract_lines_query
+    out["extract_stats"] = extract_stats_query
     return out
 
 
 def oracle_sql() -> dict[str, str]:
     out = {name: tmpl(DUCK) for name, tmpl in SQL_QUERIES.items()}
     out["extract_roundtrip"] = "SELECT doc_id, text FROM documents"
+    out["extract_lines"] = _oracle_extract_lines(DUCK)
+    out["extract_stats"] = _oracle_extract_stats(DUCK)
     return out
