@@ -191,6 +191,8 @@ def main() -> None:
     spark = make_session(app="bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qtimes: dict[str, float] = {}
     try:
+        # warm codegen + python workers so query 1 isn't charged startup
+        spark.range(0, 100000, 1, CPUS).selectExpr("md5(cast(id as string)) h").where("h like 'a%'").count()
         allq = qmod.queries()
         for name in BENCH_QUERIES:
             fn = allq[name]
