@@ -88,6 +88,28 @@ def token_codes(col: str, d: str) -> str:
     return transform(tokens(col, d), lam, d)
 
 
+def shingle_codes(col: str, d: str, n: int = 3) -> str:
+    """Array of modular hash codes of word n-gram shingles (the
+    canonical MinHash unit). Documents shorter than n tokens fall back
+    to a single whole-text shingle. Engine-identical by construction:
+    shingle string → md5 → int, like token codes."""
+    toks = tokens(col, d)
+    size = arr_size(toks, d)
+    if d == SPARK:
+        gram = f"concat_ws(' ', slice({toks}, i, {n}))"
+        seq = f"sequence(1, {size} - {n - 1})"
+        grams = f"transform({seq}, i -> {hex15(gram, d)} % {P})"
+        whole_text = f"concat_ws(' ', {toks})"
+        whole = f"array({hex15(whole_text, d)} % {P})"
+    else:
+        gram = f"array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')"
+        seq = f"generate_series(1, {size} - {n - 1})"
+        grams = f"list_transform({seq}, i -> {hex15(gram, d)} % {P})"
+        whole_text = f"array_to_string({toks}, ' ')"
+        whole = f"[{hex15(whole_text, d)} % {P}]"
+    return f"(case when {size} >= {n} then {grams} else {whole} end)"
+
+
 def minhash_sig_exprs(codes: str, d: str) -> list[str]:
     """K minhash expressions over a token-code array column/expr."""
     out = []

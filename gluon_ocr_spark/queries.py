@@ -197,6 +197,54 @@ def sql_dedup_minhash_pairs(d: str) -> str:
     """
 
 
+def sql_dedup_shingle_minhash(d: str) -> str:
+    """The canonical near-dup pipeline end-to-end:
+    word-3-gram shingles → minhash → LSH bands → bucket equi-join →
+    exact shingle-Jaccard verification of the candidates.
+
+    This is the form that survives 10^12 docs: candidate generation is
+    an equi-join on (band_id, band_key); the O(|set| ) exact Jaccard
+    runs only on candidate pairs. Spark side single-scans via inline
+    explode; DuckDB oracle uses UNION ALL — identical results."""
+    codes = pt.shingle_codes("text", d)
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    if d == SPARK:
+        structs = ", ".join(
+            f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, d)})"
+            for band in range(n_bands)
+        )
+        bands_sql = f"SELECT doc_id, inline(array({structs})) FROM c"
+        inter = "size(array_intersect(sa.sh, sb.sh))"
+        nuniq = "size"
+    else:
+        selects = [
+            f"SELECT doc_id, {band} AS band_id, {pt.band_key_expr('codes', band, d)} AS band_key FROM c"
+            for band in range(n_bands)
+        ]
+        bands_sql = "\nUNION ALL\n".join(selects)
+        inter = "len(list_intersect(sa.sh, sb.sh))"
+        nuniq = "len"
+    dist = pt.arr_distinct("codes", d)
+    return f"""
+    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents),
+    s AS (SELECT doc_id, {dist} AS sh FROM c),
+    bands AS ({bands_sql}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, round(cast(inter as double) / (na + nb - inter), 4) AS jaccard
+    FROM (
+        SELECT doc_a, doc_b, {inter} AS inter, {nuniq}(sa.sh) AS na, {nuniq}(sb.sh) AS nb
+        FROM cand
+        JOIN s sa ON sa.doc_id = cand.doc_a
+        JOIN s sb ON sb.doc_id = cand.doc_b
+    ) v
+    WHERE cast(inter as double) / (na + nb - inter) >= 0.7
+    """
+
+
 def sql_dedup_simhash(d: str) -> str:
     """SimHash near-dup candidates: equal 16-bit simhash = candidate
     group (Hamming-0 blocking; rotate-band variants extend this)."""
@@ -429,6 +477,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_token_jaccard": sql_dedup_token_jaccard,
     "dedup_minhash_bands": sql_dedup_minhash_bands,
     "dedup_minhash_pairs": sql_dedup_minhash_pairs,
+    "dedup_shingle_minhash": sql_dedup_shingle_minhash,
     "dedup_simhash": sql_dedup_simhash,
     "ann_topk": sql_ann_topk,
     "ann_lsh_buckets": sql_ann_lsh_buckets,
