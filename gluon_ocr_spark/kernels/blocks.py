@@ -51,6 +51,27 @@ MIN_AREA_CHARS = 2  # D8 min_area analog
 MAX_CANDIDATES = 4096  # D19 cap
 MAX_GAP = 1  # D2: merge regions separated by ≤ this many dropped blocks
 
+
+@dataclass(frozen=True)
+class ExtractionConfig:
+    """Tunable post-process thresholds — the engine's analog of the
+    reference demos' CLI knobs (``--thresh --box_thresh --unclip_ratio
+    --min_size``, scripts/detect/db/demo.py). Frozen + tiny so Spark
+    ships it to executors in the UDF closure (the config-broadcast
+    pattern; real model weights would ride ``sc.broadcast`` the same
+    way)."""
+
+    prob_thresh: float = PROB_THRESH  # D1
+    box_thresh: float = BOX_THRESH  # D6
+    unclip_prob: float = UNCLIP_PROB  # D7
+    min_chars: int = MIN_CHARS  # D4
+    min_area_chars: int = MIN_AREA_CHARS  # D8
+    max_candidates: int = MAX_CANDIDATES  # D19
+    max_gap: int = MAX_GAP  # D2
+
+
+DEFAULT_CONFIG = ExtractionConfig()
+
 # Class/id tokens that mark boilerplate vs. content. Standard public
 # boilerplate-removal vocabulary (cf. Boilerpipe / jusText literature).
 BOILER_TOKENS = frozenset(
@@ -184,22 +205,22 @@ class Region:
         return sum(b.n_chars for b in self.blocks)
 
 
-def detect_regions(blocks: list[Block]) -> list[Region]:
+def detect_regions(blocks: list[Block], cfg: ExtractionConfig = DEFAULT_CONFIG) -> list[Region]:
     """Run the staged D1→D8 post-process; returns regions in canonical
     reading order (document order, C2)."""
-    blocks = blocks[:MAX_CANDIDATES]  # D19
+    blocks = blocks[: cfg.max_candidates]  # D19
     probs = [block_probability(b) for b in blocks]
 
     # D1: binarize
-    kept_idx = [i for i, p in enumerate(probs) if p > PROB_THRESH]
+    kept_idx = [i for i, p in enumerate(probs) if p > cfg.prob_thresh]
     if not kept_idx:
         return []
 
-    # D2: connected components over document order (gap ≤ MAX_GAP low-prob
+    # D2: connected components over document order (gap ≤ max_gap low-prob
     # blocks tolerated, like contour connectivity tolerating small holes)
     groups: list[list[int]] = [[kept_idx[0]]]
     for i in kept_idx[1:]:
-        if i - groups[-1][-1] <= 1 + MAX_GAP:
+        if i - groups[-1][-1] <= 1 + cfg.max_gap:
             groups[-1].append(i)
         else:
             groups.append([i])
@@ -209,12 +230,12 @@ def detect_regions(blocks: list[Block]) -> list[Region]:
         members = [blocks[i] for i in g]
         # D4: min-size
         total = sum(b.n_chars for b in members)
-        if total < MIN_CHARS:
+        if total < cfg.min_chars:
             continue
         # D5: char-weighted mean probability (masked regional mean)
         score = sum(probs[i] * blocks[i].n_chars for i in g) / max(1, total)
         # D6: score filter
-        if score < BOX_THRESH:
+        if score < cfg.box_thresh:
             continue
         # D7: unclip — pull in adjacent borderline headings/captions.
         # Like the reference's unclip it only grows the region; it never
@@ -222,7 +243,7 @@ def detect_regions(blocks: list[Block]) -> list[Region]:
         def _unclippable(j: int) -> bool:
             nb = blocks[j]
             return (
-                UNCLIP_PROB <= probs[j] <= PROB_THRESH
+                cfg.unclip_prob <= probs[j] <= cfg.prob_thresh
                 and (nb.is_heading or nb.tag == "figcaption")
                 and block_evidence(nb) != "boiler"
             )
@@ -233,7 +254,7 @@ def detect_regions(blocks: list[Block]) -> list[Region]:
         if hi + 1 < len(blocks) and _unclippable(hi + 1):
             members.append(blocks[hi + 1])
         # D8: area filter (post-unclip size check, db_postprocess.py:102-107)
-        if sum(b.n_chars for b in members) < MIN_AREA_CHARS:
+        if sum(b.n_chars for b in members) < cfg.min_area_chars:
             continue
         regions.append(Region(blocks=members, score=score))
 

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 
-from .blocks import detect_regions
+from .blocks import DEFAULT_CONFIG, ExtractionConfig, detect_regions
 from .dom import parse_blocks
 
 
@@ -41,11 +41,11 @@ class ExtractResult:
     lines: list[Line]
 
 
-def extract_document(html: bytes | str) -> ExtractResult:
+def extract_document(html: bytes | str, cfg: ExtractionConfig = DEFAULT_CONFIG) -> ExtractResult:
     """Extract the main content of one page. Total: never raises on
     arbitrary crawl bytes; empty input → empty result."""
     blocks = parse_blocks(html)
-    regions = detect_regions(blocks)
+    regions = detect_regions(blocks, cfg)
 
     lines: list[Line] = []
     offset = 0

@@ -32,6 +32,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, functions as F
 
+from ..kernels.blocks import DEFAULT_CONFIG, ExtractionConfig
 from ..kernels.extract import extract_document
 from .partitioning import salt_partition
 
@@ -45,11 +46,11 @@ DOCS_SCHEMA = (
 _COLS = ("url", "text", "n_lines", "n_chars", "starts", "ends", "scores", "tags", "dom_orders", "line_texts")
 
 
-def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+def _extract_batches(batches: Iterator[pd.DataFrame], cfg: ExtractionConfig = DEFAULT_CONFIG) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         out: dict[str, list] = {k: [] for k in _COLS}
         for url, payload in zip(pdf["url"], pdf["html"]):
-            res = extract_document(payload if payload is not None else b"")
+            res = extract_document(payload if payload is not None else b"", cfg)
             ls = res.lines
             out["url"].append(url)
             out["text"].append(res.text)
@@ -64,17 +65,30 @@ def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         yield pd.DataFrame(out)
 
 
-def extract_docs(pages: DataFrame, num_partitions: int | None = None, payload_col: str = "html") -> DataFrame:
+def extract_docs(
+    pages: DataFrame,
+    num_partitions: int | None = None,
+    payload_col: str = "html",
+    cfg: ExtractionConfig = DEFAULT_CONFIG,
+) -> DataFrame:
     """pages(url, …, html, …) → docs(url, text, n_lines, n_chars, span arrays).
 
     Column-prunes to (url, html) BEFORE the UDF edge — Catalyst cannot
     see into the UDF, so the projection must be explicit (SURVEY §4
-    predicate-ordering row).
+    predicate-ordering row). ``cfg`` ships to executors in the UDF
+    closure (the config/weights-broadcast pattern — frozen, tiny,
+    serialized once per task launch).
     """
     pruned = pages.select("url", F.col(payload_col).alias("html"))
     if num_partitions:
         pruned = salt_partition(pruned, num_partitions)
-    return pruned.mapInPandas(_extract_batches, schema=DOCS_SCHEMA)
+    if cfg is DEFAULT_CONFIG:
+        fn = _extract_batches
+    else:
+        def fn(batches, _cfg=cfg):  # noqa: ANN001 - Spark UDF signature
+            return _extract_batches(batches, _cfg)
+
+    return pruned.mapInPandas(fn, schema=DOCS_SCHEMA)
 
 
 def docs_to_lines(docs: DataFrame) -> DataFrame:
