@@ -361,6 +361,40 @@ def sql_q5_region_revenue(d: str) -> str:
     """
 
 
+def sql_q3_shipping_priority(d: str) -> str:
+    """Join + agg + deterministic global top-k (sort operator
+    coverage). Revenue in exact cents so ordering can't diverge;
+    tie-break on the key."""
+    return """
+    SELECT l_orderkey,
+           round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE o_orderdate < timestamp '1998-01-01 00:00:00'
+      AND l_shipdate  > timestamp '1997-01-01 00:00:00'
+    GROUP BY l_orderkey
+    ORDER BY sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) DESC, l_orderkey
+    LIMIT 10
+    """
+
+
+def sql_q10_returned_items(d: str) -> str:
+    """Returned-items rollup: selective fact filter + two joins + agg
+    (Q10 shape)."""
+    return """
+    SELECT c_custkey, c_name, n_name,
+           round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, n_name
+    """
+
+
 def sql_top_customers_window(d: str) -> str:
     """Window rank within partition + dimension join."""
     return """
@@ -483,6 +517,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "ann_lsh_buckets": sql_ann_lsh_buckets,
     "ann_lsh_topk": sql_ann_lsh_topk,
     "q1_pricing_summary": sql_q1_pricing_summary,
+    "q3_shipping_priority": sql_q3_shipping_priority,
+    "q10_returned_items": sql_q10_returned_items,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,
