@@ -137,10 +137,10 @@ def simhash16_expr(codes: str, d: str) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
-def quantize_vec(col: str, d: str) -> str:
-    """float array → exact int64 array (floor(x*Q)); float→double widening
+def quantize_vec(col: str, d: str, q: int = EMB_QUANT) -> str:
+    """float array → exact int64 array (floor(x*q)); float→double widening
     and the double product are IEEE-exact, floor is engine-identical."""
-    lam = f"e -> cast(floor(cast(e as double) * {EMB_QUANT}) as bigint)"
+    lam = f"e -> cast(floor(cast(e as double) * {q}) as bigint)"
     return transform(col, lam, d)
 
 

@@ -288,6 +288,30 @@ def sql_ann_topk(d: str) -> str:
     """
 
 
+def sql_dedup_embedding_cosine(d: str) -> str:
+    """Embedding-cosine near-dup pairs with EXACT integer decision:
+    cos(a,b) ≥ t  ⇔  dot > 0 ∧ dot²·10⁴ ≥ (t²·10⁴)·‖a‖²·‖b‖²,
+    all in int64 on Q=1000-quantized vectors (coarser quantization
+    keeps every product < 2^63; t=0.45 → t²·10⁴ = 2025). No floats
+    anywhere ⇒ bit-identical across engines even at the threshold
+    boundary. The O(n²) pair join is the exactness baseline; the
+    LSH-bucketed path (ann_lsh_*) is the 100TB route."""
+    q = pt.quantize_vec("embedding", d, q=1000)
+    dot = pt.int_dot("a.q", "b.q", d)
+    norm = pt.int_dot("q", "q", d)
+    return f"""
+    WITH e0 AS (SELECT vec_id, {q} AS q FROM embeddings),
+    e AS (SELECT vec_id, q, {norm} AS nrm FROM e0)
+    SELECT vec_a, vec_b, dot, nrm_a, nrm_b
+    FROM (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, {dot} AS dot,
+               a.nrm AS nrm_a, b.nrm AS nrm_b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+    ) p
+    WHERE dot > 0 AND dot * dot * 10000 >= 2025 * nrm_a * nrm_b
+    """
+
+
 def sql_ann_lsh_buckets(d: str) -> str:
     """Random-hyperplane LSH bucketing of the embedding space — the
     scale path: bucket cardinalities stay bounded, so the within-bucket
@@ -513,6 +537,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_minhash_pairs": sql_dedup_minhash_pairs,
     "dedup_shingle_minhash": sql_dedup_shingle_minhash,
     "dedup_simhash": sql_dedup_simhash,
+    "dedup_embedding_cosine": sql_dedup_embedding_cosine,
     "ann_topk": sql_ann_topk,
     "ann_lsh_buckets": sql_ann_lsh_buckets,
     "ann_lsh_topk": sql_ann_lsh_topk,
