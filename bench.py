@@ -125,14 +125,22 @@ def _extraction_run_inproc(cores: int, pages_path: str) -> dict:
         # warm up executor python workers + JIT so the timed window is
         # steady-state throughput (what a long-running cluster job sees)
         extract_docs(pages.limit(256)).count()
-        t0 = time.time()
-        # salt-repartition to cores*3 — the production skew defense;
-        # also guarantees both parallelism levels have enough tasks
-        # regardless of input-split coalescing
-        docs = extract_docs(pages, num_partitions=cores * 3)
-        row = docs.agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars")).collect()[0]
-        dt = time.time() - t0
-        return {"cores": cores, "docs": row["n"], "sec": round(dt, 2), "docs_per_sec": round(row["n"] / dt, 1)}
+        best = None
+        n_docs = 0
+        # best-of-2: single trials on this host swing >2x (shared
+        # tenancy); the max is the steady-state capability estimate
+        for _ in range(2):
+            t0 = time.time()
+            # salt-repartition to cores*3 — the production skew defense;
+            # also guarantees both parallelism levels have enough tasks
+            # regardless of input-split coalescing
+            docs = extract_docs(pages, num_partitions=cores * 3)
+            row = docs.agg(F.count("*").alias("n"), F.sum("n_chars").alias("chars")).collect()[0]
+            dt = time.time() - t0
+            n_docs = row["n"]
+            if best is None or dt < best:
+                best = dt
+        return {"cores": cores, "docs": n_docs, "sec": round(best, 2), "docs_per_sec": round(n_docs / best, 1)}
     finally:
         spark.stop()
 
@@ -144,11 +152,14 @@ def extraction_run(cores: int, pages_path: str) -> dict:
     gets its own interpreter + JVM, like separate spark-submit runs."""
     import subprocess
 
+    env = dict(os.environ)
+    env.setdefault("SPARK_DRIVER_MEMORY", "16g")
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--extract-level", str(cores), pages_path],
         capture_output=True,
         text=True,
         check=True,
+        env=env,
     )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
