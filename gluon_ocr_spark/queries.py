@@ -637,10 +637,22 @@ def _oracle_extract_stats(d: str) -> str:
     """
 
 
+def dedup_minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-operator variant of sql_dedup_minhash_pairs: persists
+    the bands so the minhash computation (the expensive md5 pass) runs
+    once instead of once per self-join side. Same expressions → same
+    rows as the SQL template/oracle."""
+    from .operators.dedup import minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_candidate_pairs(docs, materialize=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(tmpl) for name, tmpl in SQL_QUERIES.items()
     }
+    out["dedup_minhash_pairs"] = dedup_minhash_pairs_query
     out["extract_roundtrip"] = extract_roundtrip_query
     out["extract_lines"] = extract_lines_query
     out["extract_stats"] = extract_stats_query

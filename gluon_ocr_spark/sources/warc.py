@@ -118,15 +118,33 @@ def _parse_ts(ts: str) -> _dt.datetime:
         return _dt.datetime(1970, 1, 1)
 
 
+def read_warc_stream(spark, path_dir: str, max_files_per_trigger: int = 8):
+    """Streaming WARC ingestion: new segment files appearing in
+    ``path_dir`` flow through the same record parser into the pages
+    stream (→ extract_docs_stream). Micro-batch size = files per
+    trigger, the natural unit since CC ships fixed-size segments."""
+    files = (
+        spark.readStream.format("binaryFile")
+        .schema("path string, modificationTime timestamp, length long, content binary")
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .load(path_dir)
+        .select("content")
+    )
+    return _records_df(files)
+
+
 def read_warc(spark, path_glob: str):
     """WARC files → pages(url, warc_ts, html, text, lang) DataFrame.
 
     `text`/`lang` are NULL (they're oracle-side columns in the lake
     table); the extraction pipeline never reads them (column-pruned
     before the UDF anyway)."""
-    import pandas as pd
+    files = spark.read.format("binaryFile").load(path_glob).select("content")
+    return _records_df(files)
 
-    files = spark.read.format("binaryFile").load(path_glob).select("path", "content")
+
+def _records_df(files):
+    import pandas as pd
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
