@@ -493,6 +493,62 @@ def sql_events_hourly(d: str) -> str:
     """
 
 
+def sql_events_asof_signup(d: str) -> str:
+    """As-of join, portable union-window formulation: for every
+    purchase, the user's most recent STRICTLY-PRIOR signup timestamp.
+    One shuffle on the key; O(1) window state — the form that survives
+    10^12 rows (pd.merge_asof per group is driver-bounded; range
+    cross-joins explode)."""
+    us = _us("ts", d)
+    return f"""
+    WITH t AS (
+        SELECT event_id, user_id, event_type, {us} AS us,
+               CASE WHEN event_type = 'signup' THEN {us} END AS signup_us
+        FROM events
+    ),
+    w AS (
+        SELECT event_id, user_id, event_type, us,
+               max(signup_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_signup_us
+        FROM t
+    )
+    SELECT event_id, user_id, us, last_signup_us
+    FROM w WHERE event_type = 'purchase'
+    """
+
+
+def sql_events_pivot_types(d: str) -> str:
+    """Pivot via portable conditional aggregation: per-user event-type
+    count matrix (the unpivot twin is `stack`/UNPIVOT)."""
+    types = ("click", "view", "purchase", "signup", "error")
+    cols = ",\n           ".join(
+        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in types
+    )
+    return f"""
+    SELECT user_id,
+           {cols},
+           count(*) AS n_total
+    FROM events
+    GROUP BY user_id
+    """
+
+
+def sql_events_quantiles(d: str) -> str:
+    """Exact interpolated quantiles + exact distinct (the bench twin of
+    approx_count_distinct / percentile_approx, which are
+    engine-specific sketches and can't hash-match across engines)."""
+    pct = "percentile" if d == SPARK else "quantile_cont"
+    return f"""
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           round({pct}(value, 0.5), 4) AS p50,
+           round({pct}(value, 0.9), 4) AS p90,
+           round({pct}(value, 0.99), 4) AS p99
+    FROM events
+    GROUP BY event_type
+    """
+
+
 def sql_events_user_daily(d: str) -> str:
     """Per-user daily activity rollup + distinct event types."""
     us = _us("date_trunc('day', ts)", d)
@@ -548,6 +604,9 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,
     "events_sessionize": sql_events_sessionize,
+    "events_asof_signup": sql_events_asof_signup,
+    "events_pivot_types": sql_events_pivot_types,
+    "events_quantiles": sql_events_quantiles,
     "events_hourly": sql_events_hourly,
     "events_user_daily": sql_events_user_daily,
     "multimodal_meta": sql_multimodal_meta,
