@@ -351,14 +351,28 @@ def sql_ann_lsh_topk(d: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+
+def _rev2(sum_expr: str, d: str) -> str:
+    """Exact 2-decimal money from a 10^-4-scaled integer sum.
+
+    ``round(v/10000.0, 2)`` is engine-divergent at exact .xx50 ties
+    (Spark rounds the shifted value, DuckDB the binary double —
+    observed at sf0.1). Rounding half-up in INTEGER domain first, then
+    one exact division, is bit-identical everywhere."""
+    div = "DIV" if d == SPARK else "//"
+    return f"((({sum_expr}) + 50) {div} 100) / 100.0"
+
 def sql_q1_pricing_summary(d: str) -> str:
     """Scan + filter + hash-aggregate (map-side combinable). Money math
     in exact cents so Spark/DuckDB sum order cannot diverge."""
-    return """
+    rev = _rev2(
+        "sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)))", d
+    )
+    return f"""
     SELECT l_returnflag, l_linestatus,
            round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS sum_qty,
            round(sum(cast(round(l_extendedprice * 100) as bigint)) / 100.0, 2) AS sum_base_price,
-           round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) AS sum_disc_price,
+           {rev} AS sum_disc_price,
            round(cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100.0 / count(*), 4) AS avg_qty,
            round(cast(sum(cast(round(l_discount * 100) as bigint)) as double) / 100.0 / count(*), 4) AS avg_disc,
            count(*) AS count_order
@@ -371,9 +385,12 @@ def sql_q1_pricing_summary(d: str) -> str:
 def sql_q5_region_revenue(d: str) -> str:
     """Multi-join star query: fact (lineitem) joined to orders and four
     dimensions — the dims are broadcast-sized at any SF."""
-    return """
+    rev = _rev2(
+        "sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)))", d
+    )
+    return f"""
     SELECT r_name, n_name,
-           round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) AS revenue,
+           {rev} AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
@@ -389,9 +406,12 @@ def sql_q3_shipping_priority(d: str) -> str:
     """Join + agg + deterministic global top-k (sort operator
     coverage). Revenue in exact cents so ordering can't diverge;
     tie-break on the key."""
-    return """
+    rev = _rev2(
+        "sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)))", d
+    )
+    return f"""
     SELECT l_orderkey,
-           round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) AS revenue,
+           {rev} AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders ON l_orderkey = o_orderkey
@@ -406,9 +426,12 @@ def sql_q3_shipping_priority(d: str) -> str:
 def sql_q10_returned_items(d: str) -> str:
     """Returned-items rollup: selective fact filter + two joins + agg
     (Q10 shape)."""
-    return """
+    rev = _rev2(
+        "sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)))", d
+    )
+    return f"""
     SELECT c_custkey, c_name, n_name,
-           round(sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))) / 10000.0, 2) AS revenue,
+           {rev} AS revenue,
            count(*) AS n_items
     FROM lineitem
     JOIN orders   ON l_orderkey = o_orderkey
