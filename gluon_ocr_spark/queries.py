@@ -43,6 +43,10 @@ TABLES = (
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
+    # the driver may hand us a session with a non-UTC timezone; all
+    # timestamp math (unix_micros of TIMESTAMP_NTZ casts) must agree
+    # with DuckDB's UTC-naive semantics
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     for t in TABLES:
         spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
 
