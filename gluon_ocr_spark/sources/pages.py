@@ -63,6 +63,36 @@ def _paragraph(rng: random.Random) -> str:
     return " ".join(_sentence(rng) for _ in range(rng.randint(1, 4)))
 
 
+def _render_para(rng: random.Random, p: str) -> str:
+    """Render one content line with realistic inline structure, chosen
+    deterministically. Every variant preserves the visible text
+    byte-for-byte (inline tags don't split blocks; entities round-trip
+    through escape/unescape; blockquote wraps a single block)."""
+    kind = rng.random()
+    esc = _html.escape(p)
+    if kind < 0.15:
+        # inline emphasis on a word span
+        words = esc.split(" ")
+        if len(words) >= 4:
+            i = rng.randrange(0, len(words) - 2)
+            tag = rng.choice(("b", "em", "strong", "code"))
+            words[i] = f"<{tag}>{words[i]}"
+            words[i + 1] = f"{words[i + 1]}</{tag}>"
+            esc = " ".join(words)
+        return f"<p>{esc}</p>"
+    if kind < 0.25:
+        return f"<blockquote><p>{esc}</p></blockquote>"
+    if kind < 0.32:
+        # short inline link inside the paragraph (low link density)
+        words = esc.split(" ")
+        if len(words) >= 6:
+            i = rng.randrange(0, len(words) - 1)
+            words[i] = f'<a href="/w/{i}">{words[i]}</a>'
+            esc = " ".join(words)
+        return f"<p>{esc}</p>"
+    return f"<p>{esc}</p>"
+
+
 def render_page_html(rng: random.Random, paras: list[str], title: str | None = None) -> str:
     """Render main-content paragraphs (+ optional title) inside
     deterministic boilerplate chrome. The extraction contract: the
@@ -77,6 +107,8 @@ def render_page_html(rng: random.Random, paras: list[str], title: str | None = N
     footer = (
         '<footer><ul class="footer-links">'
         + "".join(f'<li><a href="/f{i}">{w}</a></li>' for i, w in enumerate(rng.sample(BOILER_LINKS, 4)))
+        + "<table><tr><td>Region</td><td>Office</td></tr>"
+        + f"<tr><td>{_sentence(rng, 1, 2)}</td><td>{_sentence(rng, 1, 2)}</td></tr></table>"
         + f"</ul><p>© 2024 {_sentence(rng, 2, 3)}. All rights reserved.</p></footer>"
     )
     comments = (
@@ -85,7 +117,20 @@ def render_page_html(rng: random.Random, paras: list[str], title: str | None = N
         + "</section>"
     )
 
-    body_paras = "".join(f"<p>{_html.escape(p)}</p>" for p in paras)
+    # paragraphs, with occasional runs rendered as <ul><li> groups —
+    # each <li> is its own block ⇒ its own output line, so the
+    # '\n'.join(paras) ground truth is preserved verbatim
+    chunks: list[str] = []
+    i = 0
+    while i < len(paras):
+        if rng.random() < 0.1 and i + 3 <= len(paras):
+            items = "".join(f"<li>{_html.escape(q)}</li>" for q in paras[i : i + 3])
+            chunks.append(f"<ul>{items}</ul>")
+            i += 3
+        else:
+            chunks.append(_render_para(rng, paras[i]))
+            i += 1
+    body_paras = "".join(chunks)
     h1 = f"<h1>{_html.escape(title)}</h1>" if title is not None else ""
     page_title = _html.escape(title) if title is not None else "ExampleSite"
     return (
