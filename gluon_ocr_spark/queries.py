@@ -104,6 +104,38 @@ def sql_text_quality(d: str) -> str:
     """
 
 
+def sql_text_lang_id(d: str) -> str:
+    """Heuristic language ID: per-language stopword hit counts →
+    deterministic argmax (first language in sorted order wins ties).
+    Portable CASE-chain argmax; the DataFrame-API twin is
+    operators.textstats.with_lang_id."""
+    from .operators.textstats import LANG_PROFILES
+
+    toks = pt.tokens("text", d)
+    contains = "array_contains" if d == SPARK else "list_contains"
+    langs = sorted(LANG_PROFILES)
+    scores = {}
+    for lang in langs:
+        lit = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+        arr = f"array({lit})" if d == SPARK else f"[{lit}]"
+        scores[lang] = pt.arr_size(pt.arr_filter(toks, f"t -> {contains}({arr}, t)", d), d)
+    score_cols = ",\n           ".join(f"{scores[lang]} AS s_{lang}" for lang in langs)
+    case = " ".join(
+        "WHEN " + " AND ".join(f"s_{lang} >= s_{other}" for other in langs if other != lang) + f" THEN '{lang}'"
+        for lang in langs[:-1]
+    )
+    return f"""
+    WITH s AS (
+        SELECT doc_id, lang AS lang_label,
+           {score_cols}
+        FROM documents
+    )
+    SELECT doc_id, lang_label,
+           CASE {case} ELSE '{langs[-1]}' END AS lang_pred
+    FROM s
+    """
+
+
 def sql_text_fingerprint(d: str) -> str:
     """Document fingerprinting: md5 content hash + 16-bit simhash over
     token hashes (near-dup sketch)."""
@@ -613,6 +645,7 @@ def sql_multimodal_meta(d: str) -> str:
 SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_stats": sql_text_stats,
     "text_quality": sql_text_quality,
+    "text_lang_id": sql_text_lang_id,
     "text_fingerprint": sql_text_fingerprint,
     "dedup_exact": sql_dedup_exact,
     "dedup_token_jaccard": sql_dedup_token_jaccard,
