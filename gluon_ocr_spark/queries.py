@@ -348,6 +348,52 @@ def sql_dedup_embedding_cosine(d: str) -> str:
     """
 
 
+_IVF_CENTERS = 32  # coarse cells: the vectors with vec_id < 32 (deterministic)
+
+
+def sql_ann_ivf_topk(d: str) -> str:
+    """IVF-style ANN: assign every vector to its nearest coarse center
+    (exact int64 squared L2 against a deterministic center set), then
+    search top-k only within the query's cell.
+
+    At 10^12 rows the assignment is one broadcast-join pass, cells are
+    written bucketed-by(cell), and probes prune to nprobe cells — this
+    query is the single-probe case. All arithmetic exact ⇒
+    bit-identical across engines (ties broken by center id)."""
+    q = pt.quantize_vec("embedding", d)
+    # squared L2 between bigint arrays — exact
+    if d == SPARK:
+        dist = "aggregate(zip_with(v.q, c.q, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, t) -> acc + t)"
+    else:
+        dist = "list_sum(list_transform(list_zip(v.q, c.q), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    dot = pt.int_dot("qs.qq", "e.q", d)
+    return f"""
+    WITH e0 AS (SELECT vec_id, {q} AS q FROM embeddings),
+    centers AS (SELECT vec_id AS cid, q FROM e0 WHERE vec_id < {_IVF_CENTERS}),
+    assign AS (
+        SELECT vec_id, cid AS cell
+        FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
+            FROM e0 v CROSS JOIN centers c
+        ) a WHERE rn = 1
+    ),
+    e AS (SELECT e0.vec_id, e0.q, assign.cell FROM e0 JOIN assign ON e0.vec_id = assign.vec_id),
+    qs AS (SELECT vec_id AS query_id, q AS qq, cell AS qcell FROM e WHERE vec_id < {_N_QUERIES})
+    SELECT query_id, neighbor_id, dot, rnk
+    FROM (
+        SELECT query_id, neighbor_id, dot,
+               row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+        FROM (
+            SELECT qs.query_id, e.vec_id AS neighbor_id, {dot} AS dot
+            FROM qs JOIN e ON e.cell = qs.qcell
+            WHERE e.vec_id <> qs.query_id
+        ) d0
+    ) d1
+    WHERE rnk <= {_TOP_K}
+    """
+
+
 def sql_ann_lsh_buckets(d: str) -> str:
     """Random-hyperplane LSH bucketing of the embedding space — the
     scale path: bucket cardinalities stay bounded, so the within-bucket
@@ -657,6 +703,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "ann_topk": sql_ann_topk,
     "ann_lsh_buckets": sql_ann_lsh_buckets,
     "ann_lsh_topk": sql_ann_lsh_topk,
+    "ann_ivf_topk": sql_ann_ivf_topk,
     "q1_pricing_summary": sql_q1_pricing_summary,
     "q3_shipping_priority": sql_q3_shipping_priority,
     "q10_returned_items": sql_q10_returned_items,
