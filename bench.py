@@ -43,10 +43,13 @@ BENCH_QUERIES = (
     "q5_region_revenue",
     "top_customers_window",
     "events_sessionize",
+    "events_asof_signup",
     "dedup_minhash_pairs",
+    "dedup_shingle_minhash",
     "text_fingerprint",
     "ann_topk",
     "ann_lsh_topk",
+    "ann_ivf_topk",
     "extract_roundtrip",
 )
 

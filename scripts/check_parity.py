@@ -47,10 +47,19 @@ def main():
     from gluon_ocr_spark.session import make_session
     from gluon_ocr_spark.queries import TABLES
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if a != "--vanilla"]
+    vanilla = "--vanilla" in sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
 
-    spark = make_session(app="parity-check", master="local[8]", shuffle_partitions=8)
+    if vanilla:
+        # rehearse the driver's conditions: stock session, no engine
+        # configs — queries must be robust to foreign sessions
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.builder.appName("parity-vanilla").master("local[8]").getOrCreate()
+    else:
+        spark = make_session(app="parity-check", master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
