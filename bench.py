@@ -32,7 +32,11 @@ os.environ.setdefault("OPENBLAS_NUM_THREADS", "1")
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 N_PAGES = int(os.environ.get("SPARK_GRAFT_BENCH_PAGES", "100000"))
-LO_LEVEL = int(os.environ.get("SPARK_GRAFT_BENCH_LO", "8"))
+# headline N→4N pair: 4→16 stays within this box's ~16 PHYSICAL cores,
+# so it measures scaling; 8→32 crosses into SMT and measures the
+# hyperthread ceiling instead (reported as the secondary pair)
+LO_LEVEL = int(os.environ.get("SPARK_GRAFT_BENCH_LO", "4"))
+HI_LEVEL = int(os.environ.get("SPARK_GRAFT_BENCH_HI", "16"))
 CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".bench_cache")
 
 # headline queries only (full battery runs in the correctness gate);
@@ -181,9 +185,9 @@ def main() -> None:
     # comparisons are meaningful
     hw_lo = hw_run(LO_LEVEL, payloads)
     lo = extraction_run(LO_LEVEL, pages_path)
-    hw_hi = hw_run(CPUS, payloads)
-    hi = extraction_run(CPUS, pages_path)
-    factor = CPUS / LO_LEVEL
+    hw_hi = hw_run(HI_LEVEL, payloads)
+    hi = extraction_run(HI_LEVEL, pages_path)
+    factor = HI_LEVEL / LO_LEVEL
     eff = (hi["docs_per_sec"] / lo["docs_per_sec"]) / factor
     hw_ratio = hw_hi / hw_lo
     extraction = {
@@ -200,6 +204,15 @@ def main() -> None:
         # how much of the physically-achievable scaling Spark delivers
         "relative_efficiency": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / hw_ratio, 3),
     }
+    # secondary pair crossing into SMT territory (8→32 on this box)
+    if os.environ.get("SPARK_GRAFT_BENCH_SMT_PAIR", "1") == "1":
+        smt_lo = extraction_run(8, pages_path)
+        smt_hi = extraction_run(CPUS, pages_path)
+        extraction["smt_pair"] = {
+            "lo": smt_lo,
+            "hi": smt_hi,
+            "scaling_efficiency": round((smt_hi["docs_per_sec"] / smt_lo["docs_per_sec"]) / (CPUS / 8), 3),
+        }
 
     # -- query battery ----------------------------------------------
     spark = make_session(app="bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
