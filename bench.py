@@ -234,7 +234,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "extraction docs/sec @ local[%d] + query battery wall" % CPUS,
+                "metric": "extraction docs/sec @ local[%d] + query battery wall" % HI_LEVEL,
                 "value": total,
                 "unit": "sec",
                 "queries": qtimes,
