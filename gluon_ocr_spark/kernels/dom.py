@@ -157,9 +157,11 @@ class _BlockParser:
     def __init__(self) -> None:
         self.blocks: list[Block] = []
         self._chain: list[tuple[str, frozenset[str]]] = []  # open block-level elements
+        self._open_counts: dict[str, int] = {}  # tag → open count (O(1) membership)
         self._skip_depth = 0
         self._link_depth = 0
         self._cur: Block | None = None
+        self._cur_tag = "body"  # nearest block-level tag for lazily-created blocks
         self._order = 0
         self._link_parts: list[str] = []
 
@@ -179,9 +181,12 @@ class _BlockParser:
             self._cur = None
 
     def _open_block(self, tag: str) -> None:
+        # lazy: the Block object (and its chain snapshot) materialize
+        # only when text actually arrives — most boundaries carry none,
+        # and the chain cannot change between the boundary and its
+        # first text event (any tag event would open a new boundary)
         self._flush()
-        self._cur = Block(order=self._order, tag=tag, chain=tuple(self._chain))
-        self._order += 1
+        self._cur_tag = tag
 
     # -- scanner hooks ----------------------------------------------
     def handle_starttag(self, tag: str, attrs_str: str) -> None:
@@ -204,6 +209,7 @@ class _BlockParser:
                 if v:
                     tokens.update(t.lower() for t in v.replace("-", " ").replace("_", " ").split())
         self._chain.append((tag, frozenset(tokens)))
+        self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
         self._open_block(tag)
 
     def handle_endtag(self, tag: str) -> None:
@@ -220,20 +226,21 @@ class _BlockParser:
             return
         self._flush()
         # pop up to the matching open tag (tolerates misnesting)
-        if any(t == tag for t, _ in self._chain):
+        if self._open_counts.get(tag, 0) > 0:
             while self._chain:
                 t, _ = self._chain.pop()
+                self._open_counts[t] -= 1
                 if t == tag:
                     break
         # text after a closed element belongs to the parent block
-        parent = self._chain[-1][0] if self._chain else "body"
-        self._open_block(parent)
+        self._cur_tag = self._chain[-1][0] if self._chain else "body"
 
     def handle_data(self, data: str) -> None:
         if self._skip_depth or not data:
             return
         if self._cur is None:
-            self._open_block(self._chain[-1][0] if self._chain else "body")
+            self._cur = Block(order=self._order, tag=self._cur_tag, chain=tuple(self._chain))
+            self._order += 1
         self._cur.parts.append(data)
         if self._link_depth:
             self._link_parts.append(data)
