@@ -113,6 +113,39 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     )
 
 
+def run_extract_stream_with_lineage(
+    spark: SparkSession,
+    pages_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Streaming extraction with the SAME lineage/commit protocol as
+    the batch job: every micro-batch commits through
+    ``plans.lineage.ExtractionJob`` (docs run-dir first, lineage rows
+    last), keyed by epoch id.
+
+    Exactly-once comes from two interlocking guarantees: the streaming
+    checkpoint replays an epoch only if its foreachBatch didn't finish,
+    and the lineage anti-join inside ``job.run`` skips any urls the
+    interrupted attempt already committed — so replays are no-ops at
+    the row level. One audit trail (the lineage table) then covers
+    batch and streaming runs identically.
+    """
+    from ..plans.lineage import ExtractionJob
+
+    job = ExtractionJob(out_dir)
+    pages = read_pages_stream(spark, pages_dir)
+
+    def commit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        job.run(batch_df.sparkSession, batch_df, run_id=f"epoch-{epoch_id:08d}")
+
+    writer = pages.writeStream.foreachBatch(commit_batch).option("checkpointLocation", checkpoint_dir)
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     """Tumbling 1-hour windowed counts with a watermark for late rows.
 
