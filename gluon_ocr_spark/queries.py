@@ -598,6 +598,37 @@ def sql_events_hourly(d: str) -> str:
     """
 
 
+def events_session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window operator —
+    same semantics as the lag/cumsum formulation (30-min gap), proving
+    the built-in stateful operator against the portable SQL oracle.
+    session_window.end = last event + gap, so subtract the gap to
+    recover the last-event timestamp."""
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    events = spark.table("events")
+    gap_us = 1_800_000_000
+    out = (
+        events.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_micros(F.col("w.start")).alias("start_us"),
+            (F.unix_micros(F.col("w.end")) - gap_us).alias("end_us"),
+            "n_events",
+        )
+    )
+    return out
+
+
+def _oracle_session_window(d: str) -> str:
+    """Same sessions via the portable lag/cumsum formulation."""
+    base = sql_events_sessionize(DUCK)
+    return f"SELECT user_id, start_us, end_us, n_events FROM ({base}) s"
+
+
 def sql_events_asof_signup(d: str) -> str:
     """As-of join, portable union-window formulation: for every
     purchase, the user's most recent STRICTLY-PRIOR signup timestamp.
@@ -822,6 +853,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_roundtrip"] = extract_roundtrip_query
     out["extract_lines"] = extract_lines_query
     out["extract_stats"] = extract_stats_query
+    out["events_session_window_native"] = events_session_window_native
     return out
 
 
@@ -830,4 +862,5 @@ def oracle_sql() -> dict[str, str]:
     out["extract_roundtrip"] = "SELECT doc_id, text FROM documents"
     out["extract_lines"] = _oracle_extract_lines(DUCK)
     out["extract_stats"] = _oracle_extract_stats(DUCK)
+    out["events_session_window_native"] = _oracle_session_window(DUCK)
     return out
