@@ -524,6 +524,31 @@ def sql_q10_returned_items(d: str) -> str:
     """
 
 
+def sql_rollup_returns(d: str) -> str:
+    """Grouping-sets coverage: ROLLUP over (returnflag, linestatus)
+    with subtotal and grand-total rows (NULL keys hash identically in
+    both engines)."""
+    return """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n_lines,
+           round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS total_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """
+
+
+def sql_set_ops_users(d: str) -> str:
+    """Set-operation coverage: purchasers ∩ clickers, minus error-only
+    users (INTERSECT / EXCEPT are first-class in both engines)."""
+    return """
+    SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 150
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'click' AND value > 150
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error' AND value > 190
+    """
+
+
 def sql_top_customers_window(d: str) -> str:
     """Window rank within partition + dimension join."""
     return """
@@ -741,6 +766,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,
+    "rollup_returns": sql_rollup_returns,
+    "set_ops_users": sql_set_ops_users,
     "events_sessionize": sql_events_sessionize,
     "events_asof_signup": sql_events_asof_signup,
     "events_pivot_types": sql_events_pivot_types,
