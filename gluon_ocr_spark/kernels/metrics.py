@@ -89,7 +89,10 @@ def combine_detection(results: list[dict]) -> dict:
 
 
 def edit_distance(a: str, b: str) -> int:
-    """Levenshtein distance, O(len(a)·len(b)) DP, O(min) memory."""
+    """Levenshtein distance, O(len(a)·len(b)) DP, O(min) memory.
+
+    Quadratic: evaluate per LINE (the reference's per-crop granularity),
+    never per multi-KB document — a 100 KB pair is ~10^10 cell updates."""
     if len(a) < len(b):
         a, b = b, a
     prev = list(range(len(b) + 1))
