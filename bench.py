@@ -203,6 +203,10 @@ def main() -> None:
         "hw_ceiling_efficiency": round(hw_ratio / factor, 3),
         # how much of the physically-achievable scaling Spark delivers
         "relative_efficiency": round((hi["docs_per_sec"] / lo["docs_per_sec"]) / hw_ratio, 3),
+        # a shared host can starve the mp baseline itself; flag windows
+        # where the "ceiling" is implausible so downstream readers don't
+        # over-trust relative_efficiency from that window
+        "hw_window_suspect": hw_ratio < 1.0,
     }
     # secondary pair crossing into SMT territory (8→32 on this box)
     if os.environ.get("SPARK_GRAFT_BENCH_SMT_PAIR", "1") == "1":
