@@ -76,10 +76,16 @@ def arr_distinct(arr: str, d: str) -> str:
 
 
 def arr_sum_bigint(arr: str, d: str) -> str:
-    """Exact integer sum of a bigint array."""
+    """Exact integer sum of a bigint array.
+
+    DuckDB's ``list_sum`` over BIGINT widens to HUGEINT (int128) —
+    pyarrow then materializes decimal128(38,0), which value-hashes
+    differently from Spark's bigint even when numerically identical.
+    All sums here are < 2^63 by construction, so cast back to BIGINT
+    to keep the cross-engine output type identical."""
     if d == SPARK:
         return f"aggregate({arr}, cast(0 as bigint), (acc, v) -> acc + v)"
-    return f"list_sum({arr})"
+    return f"CAST(list_sum({arr}) AS BIGINT)"
 
 
 def token_codes(col: str, d: str) -> str:
@@ -145,10 +151,11 @@ def quantize_vec(col: str, d: str, q: int = EMB_QUANT) -> str:
 
 
 def int_dot(a: str, b: str, d: str) -> str:
-    """Exact int64 dot product of two bigint arrays."""
+    """Exact int64 dot product of two bigint arrays (BIGINT in BOTH
+    dialects — see arr_sum_bigint on the DuckDB HUGEINT widening)."""
     if d == SPARK:
         return f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
-    return f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    return f"CAST(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2])) AS BIGINT)"
 
 
 def plane_literal(i: int, d: str) -> str:

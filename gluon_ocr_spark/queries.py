@@ -440,9 +440,16 @@ def _rev2(sum_expr: str, d: str) -> str:
     ``round(v/10000.0, 2)`` is engine-divergent at exact .xx50 ties
     (Spark rounds the shifted value, DuckDB the binary double —
     observed at sf0.1). Rounding half-up in INTEGER domain first, then
-    one exact division, is bit-identical everywhere."""
+    one exact division, is bit-identical everywhere.
+
+    The final CAST AS DOUBLE pins the OUTPUT TYPE: Spark parses the
+    ``100.0`` literal as DECIMAL so ``bigint / 100.0`` yields a
+    decimal column, while DuckDB yields double — numerically equal but
+    the driver hashes Decimal != float (root cause of 7 of round 1's
+    13 hash mismatches). Values are exact multiples of 0.01 well below
+    2^53, so the double conversion is lossless."""
     div = "DIV" if d == SPARK else "//"
-    return f"((({sum_expr}) + 50) {div} 100) / 100.0"
+    return f"CAST(((({sum_expr}) + 50) {div} 100) / 100.0 AS DOUBLE)"
 
 def sql_q1_pricing_summary(d: str) -> str:
     """Scan + filter + hash-aggregate (map-side combinable). Money math
@@ -452,8 +459,8 @@ def sql_q1_pricing_summary(d: str) -> str:
     )
     return f"""
     SELECT l_returnflag, l_linestatus,
-           round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS sum_qty,
-           round(sum(cast(round(l_extendedprice * 100) as bigint)) / 100.0, 2) AS sum_base_price,
+           CAST(round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS DOUBLE) AS sum_qty,
+           CAST(round(sum(cast(round(l_extendedprice * 100) as bigint)) / 100.0, 2) AS DOUBLE) AS sum_base_price,
            {rev} AS sum_disc_price,
            round(cast(sum(cast(round(l_quantity * 100) as bigint)) as double) / 100.0 / count(*), 4) AS avg_qty,
            round(cast(sum(cast(round(l_discount * 100) as bigint)) as double) / 100.0 / count(*), 4) AS avg_disc,
@@ -531,7 +538,7 @@ def sql_rollup_returns(d: str) -> str:
     return """
     SELECT l_returnflag, l_linestatus,
            count(*) AS n_lines,
-           round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS total_qty
+           CAST(round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS DOUBLE) AS total_qty
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     """
@@ -566,7 +573,7 @@ def sql_supplier_part_volume(d: str) -> str:
     """Fact-to-two-dimensions join + agg (brand/supplier rollup)."""
     return """
     SELECT p_brand, s_name,
-           round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS total_qty,
+           CAST(round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS DOUBLE) AS total_qty,
            count(*) AS n_lines
     FROM lineitem
     JOIN part     ON l_partkey = p_partkey
@@ -601,8 +608,8 @@ def sql_events_sessionize(d: str) -> str:
     ),
     s AS (
         SELECT user_id, event_id, us,
-               sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+               CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
         FROM x
     )
     SELECT user_id, session_id, count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
@@ -617,7 +624,7 @@ def sql_events_hourly(d: str) -> str:
     return f"""
     SELECT {us} AS hour_us, event_type,
            count(*) AS n_events,
-           round(sum(cast(round(value * 100) as bigint)) / 100.0, 2) AS total_value
+           CAST(round(sum(cast(round(value * 100) as bigint)) / 100.0, 2) AS DOUBLE) AS total_value
     FROM events
     GROUP BY 1, 2
     """
@@ -682,8 +689,10 @@ def sql_events_pivot_types(d: str) -> str:
     """Pivot via portable conditional aggregation: per-user event-type
     count matrix (the unpivot twin is `stack`/UNPIVOT)."""
     types = ("click", "view", "purchase", "signup", "error")
+    # CAST: DuckDB sum(int) widens to HUGEINT → decimal128 in Arrow;
+    # Spark emits bigint. Counts are tiny, so BIGINT is exact.
     cols = ",\n           ".join(
-        f"sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS n_{t}" for t in types
+        f"CAST(sum(CASE WHEN event_type = '{t}' THEN 1 ELSE 0 END) AS BIGINT) AS n_{t}" for t in types
     )
     return f"""
     SELECT user_id,

@@ -2,8 +2,10 @@
 
 Runs every `queries()` entry on Spark and its `oracle_sql()` twin on
 DuckDB at the given SF, then compares row count, column names, and
-exact values (order-insensitive, columns sorted by name) — stricter
-than the driver's value-hash, so passing here implies passing there.
+exact TYPE-TAGGED values (order-insensitive, columns sorted by name).
+Since round 2 the compare is type-strict (Decimal != float, int !=
+float), which the driver's value-hash also distinguishes — so passing
+here implies passing there.
 
 Usage: python scripts/check_parity.py [sf_dir] [query ...]
 """
@@ -17,18 +19,28 @@ sys.path.insert(0, "/root/repo")
 
 
 def normalize(v):
+    """Type-TAGGED normal form: a Decimal never equals a float, an int
+    never equals a float. Round 1 proved the untagged version masks
+    real driver failures (Spark DECIMAL vs DuckDB DOUBLE columns
+    compared equal here but hash-mismatched at the gate), so the tag
+    is the whole point — this checker must be STRICTER than the gate.
+    Only timezone is normalized away (driver compares naive UTC)."""
     import datetime
     import decimal
 
-    if isinstance(v, decimal.Decimal):
-        return float(v)
-    if isinstance(v, datetime.datetime):
-        return v.replace(tzinfo=None).isoformat()
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+    if v is None:
+        return ("null",)
     if isinstance(v, bool):
-        return bool(v)
-    return v
+        return ("bool", v)
+    if isinstance(v, int):
+        return ("int", v)
+    if isinstance(v, decimal.Decimal):
+        return ("decimal", str(v))
+    if isinstance(v, float):
+        return ("float", "NaN" if math.isnan(v) else v)
+    if isinstance(v, datetime.datetime):
+        return ("ts", v.replace(tzinfo=None).isoformat())
+    return (type(v).__name__, v)
 
 
 def rows_key(rows, cols):
@@ -82,9 +94,12 @@ def main():
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
-            res = con.execute(oracles[name])
-            dcols = [c[0] for c in res.description]
-            drows = res.fetchall()
+            # fetch through Arrow, like the driver does: duckdb's
+            # fetchall() folds HUGEINT to Python int (hiding type
+            # divergence), Arrow surfaces it as decimal128 → Decimal
+            tbl = con.execute(oracles[name]).fetch_arrow_table()
+            dcols = tbl.column_names
+            drows = [tuple(row[c] for c in dcols) for row in tbl.to_pylist()]
         except Exception as e:
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {e}")
