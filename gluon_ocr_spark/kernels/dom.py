@@ -139,8 +139,33 @@ def _norm_len(parts: list[str]) -> int:
 RAWTEXT = frozenset({"script", "style", "textarea", "title", "xmp"})
 
 _NAME_RE = re.compile(r"[a-zA-Z][a-zA-Z0-9:-]*")
-# attribute tail up to the closing '>', honoring quoted values
-_TAIL_RE = re.compile(r"(?:\"[^\"]*\"|'[^']*'|[^>])*>", re.S)
+
+
+def _tail_end(html: str, start: int) -> int:
+    """Index just past the closing '>' of a tag's attribute tail,
+    honoring quoted values; -1 if the tag is unterminated.
+
+    Imperative on purpose: the old regex
+    ``(?:\"[^\"]*\"|'[^']*'|[^>])*>`` had an ambiguous alternation (a
+    quote char could match as quoted-string OR as [^>]) — exponential
+    backtracking on a truncated crawl tag with many quotes would hang
+    the executor, and try/except can't catch a regex hang. This scan
+    is strictly linear. Semantics: '>' inside a balanced quote pair is
+    not a terminator; an unmatched quote is a plain char; if the
+    quote-honoring pass finds no '>', the tag is crawl junk — fall
+    back to the first raw '>' (else unterminated)."""
+    i, n = start, len(html)
+    while i < n:
+        c = html[i]
+        if c == ">":
+            return i + 1
+        if c == '"' or c == "'":
+            j = html.find(c, i + 1)
+            i = i + 1 if j == -1 else j + 1
+        else:
+            i += 1
+    g = html.find(">", start)
+    return -1 if g == -1 else g + 1
 _CLASSID_RE = re.compile(r"\b(class|id)\s*=\s*(?:\"([^\"]*)\"|'([^']*)'|([^\s>]+))", re.I)
 
 
@@ -203,7 +228,10 @@ class _BlockParser:
             return
         # block-level boundary; class/id tokens extracted lazily
         tokens: set[str] = set()
-        if attrs_str and ("class" in attrs_str or "id" in attrs_str or "CLASS" in attrs_str or "ID" in attrs_str):
+        # gate on a lowercased copy: _CLASSID_RE is case-insensitive, so
+        # mixed-case attrs (<div Class="nav">) must pass the fast-path
+        # gate too or their boilerplate/content evidence is lost
+        if attrs_str and ("class" in (al := attrs_str.lower()) or "id" in al):
             for m in _CLASSID_RE.finditer(attrs_str):
                 v = m.group(2) or m.group(3) or m.group(4)
                 if v:
@@ -251,7 +279,7 @@ class _BlockParser:
 
 def _scan(html: str, h: _BlockParser) -> None:
     """Tokenize HTML and drive the handler. Hand-rolled for speed:
-    one `str.find` per markup boundary plus one regex for tag tails;
+    one `str.find` per markup boundary plus a linear tail scan;
     entities decoded only when a text node contains '&'."""
     n = len(html)
     low: str | None = None  # lazily-lowered copy for rawtext close search
@@ -293,14 +321,14 @@ def _scan(html: str, h: _BlockParser) -> None:
                 h.handle_data("<")
                 pos = lt + 1
                 continue
-            tail = _TAIL_RE.match(html, m.end())
-            if tail is None:
+            tail_end = _tail_end(html, m.end())
+            if tail_end == -1:
                 return  # unterminated tag at EOF: dropped
             tag = m.group().lower()
-            attrs_str = html[m.end() : tail.end() - 1]
+            attrs_str = html[m.end() : tail_end - 1]
             self_closing = attrs_str.endswith("/")
             h.handle_starttag(tag, attrs_str)
-            pos = tail.end()
+            pos = tail_end
             if tag in RAWTEXT and not self_closing:
                 if low is None:
                     low = html.lower()

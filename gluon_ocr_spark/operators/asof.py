@@ -31,10 +31,15 @@ def asof_join(
     """Left as-of join; appends ``value_cols`` (from the latest right
     row ≤ / < left's timestamp) to every left row."""
     lcols = left.columns
-    l = left.withColumn("__ts", F.col(left_ts).cast("long") * 2 + 1).withColumn("__side", F.lit(1))
+    # unix_micros, NOT cast-to-long: the long cast truncates to whole
+    # seconds, so a right row up to 999ms AFTER the left row would be
+    # treated as at-or-before — wrong results on any sub-second data
+    l = left.withColumn(
+        "__ts", F.unix_micros(F.col(left_ts).cast("timestamp")) * 2 + 1
+    ).withColumn("__side", F.lit(1))
     r = right.select(
         F.col(key),
-        (F.col(right_ts).cast("long") * 2).alias("__ts"),
+        (F.unix_micros(F.col(right_ts).cast("timestamp")) * 2).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__v_{c}") for c in value_cols],
     )

@@ -82,6 +82,24 @@ class ExtractionJob:
         crash; committed urls are never re-extracted (exactly-once).
         """
         run_id = run_id or uuid.uuid4().hex[:16]
+        if run_id in self.committed_run_ids(spark):
+            # Idempotent replay: foreachBatch re-delivers an epoch when
+            # the STREAM's commit-log write crashed after OUR commit
+            # (deterministic run_id = epoch). The old behavior
+            # recomputed todo as empty via the anti-join and
+            # overwrote the committed run dir with an empty dataset —
+            # permanent data loss. A committed run_id is final: report
+            # its counters from lineage and touch nothing.
+            lin = (
+                spark.read.parquet(self.lineage_dir)
+                .where(F.col("run_id") == run_id)
+                .agg(
+                    F.coalesce(F.sum("url_count"), F.lit(0)).alias("n"),
+                    F.coalesce(F.sum("line_count"), F.lit(0)).alias("l"),
+                )
+                .collect()[0]
+            )
+            return {"run_id": run_id, "urls_processed": lin["n"], "lines": lin["l"], "replayed": True}
         done = self.committed_urls(spark)
         todo = pages
         if done is not None:
@@ -118,7 +136,12 @@ class ExtractionJob:
                 F.current_timestamp().alias("committed_at"),
             )
         )
-        lineage.write.mode("append").parquet(self.lineage_dir)
+        # THE commit point. coalesce(1): one file per run so the append
+        # is all-or-nothing — a multi-file append could crash half-way
+        # and leave a partially-committed run (wrong counters on
+        # replay). Lineage is one tiny row per partition, so a single
+        # file costs nothing even at 10^5 partitions.
+        lineage.coalesce(1).write.mode("append").parquet(self.lineage_dir)
 
         stats = written.agg(F.count("*").alias("n"), F.coalesce(F.sum("n_lines"), F.lit(0)).alias("l")).collect()[0]
         return {"run_id": run_id, "urls_processed": stats["n"], "lines": stats["l"]}

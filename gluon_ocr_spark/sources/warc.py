@@ -34,7 +34,8 @@ def write_warc(pages: list[dict], compress: bool = False) -> bytes:
     ``compress=True`` emits one gzip member per record (CC framing)."""
     out = io.BytesIO()
     for p in pages:
-        body = p["html"] if isinstance(p["html"], (bytes, bytearray)) else bytes(p["html"])
+        raw = p["html"]
+        body = raw if isinstance(raw, (bytes, bytearray)) else str(raw).encode("utf-8")
         http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=utf-8\r\n" b"Content-Length: " + str(
             len(body)
         ).encode() + b"\r\n\r\n" + body

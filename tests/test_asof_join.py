@@ -26,3 +26,26 @@ def test_asof_join_strict(spark):
     strictly_before = asof_join(left, right, "k", "t", "t", ["p"], strict=True).collect()[0]["p"]
     assert at_or_before == 5.0
     assert strictly_before == 3.0
+
+
+def test_asof_join_subsecond(spark):
+    """Sub-second ordering: a right row 500ms AFTER the left row must
+    NOT join (the old second-granular long cast truncated both to the
+    same tick and joined it)."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    left = spark.createDataFrame(
+        pd.DataFrame({"k": ["x"], "t": [base], "v": [1]})
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["x", "x"],
+                "t": [base + dt.timedelta(milliseconds=500), base - dt.timedelta(milliseconds=500)],
+                "p": [9.0, 7.0],
+            }
+        )
+    )
+    got = asof_join(left, right, "k", "t", "t", ["p"]).collect()[0]["p"]
+    assert got == 7.0  # the 500ms-later quote is ignored

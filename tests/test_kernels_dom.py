@@ -95,3 +95,29 @@ def test_spans_offsets_consistent():
     assert r.text == "\n".join(ln.text for ln in r.lines)
     for ln in r.lines:
         assert r.text[ln.start : ln.end] == ln.text
+
+
+def test_truncated_tag_many_quotes_is_linear():
+    """A truncated crawl tag with many quote chars must parse in
+    linear time — the old _TAIL_RE alternation backtracked
+    exponentially (~8x per 4 extra quotes) and hung the executor."""
+    import time
+
+    from gluon_ocr_spark.kernels.dom import parse_blocks
+
+    junk = "<p>ok</p><a href=" + '"' * 80 + "x"  # unterminated, 80 quotes
+    t0 = time.monotonic()
+    blocks = parse_blocks(junk)
+    assert time.monotonic() - t0 < 1.0
+    assert [b.text for b in blocks] == ["ok"]
+
+
+def test_mixed_case_class_attr_counts():
+    """<div Class="..."> must contribute class evidence: the fast-path
+    gate lowercases before checking (the regex always matched, but the
+    old gate skipped mixed-case attrs entirely)."""
+    from gluon_ocr_spark.kernels.dom import parse_blocks
+
+    lower = parse_blocks('<div class="nav-menu"><p>chrome text here</p></div><p>body</p>')
+    mixed = parse_blocks('<div Class="nav-menu"><p>chrome text here</p></div><p>body</p>')
+    assert [(b.text, b.chain) for b in lower] == [(b.text, b.chain) for b in mixed]

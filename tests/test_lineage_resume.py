@@ -63,3 +63,23 @@ def test_lineage_counters_match_docs(spark, tmp_path):
     got = lin.groupBy().sum("url_count", "line_count").collect()[0]
     assert got["sum(url_count)"] == 12
     assert got["sum(line_count)"] == sum(r["n_lines"] for r in docs.select("n_lines").collect())
+
+
+def test_committed_run_replay_is_noop(spark, tmp_path):
+    """foreachBatch epoch replay: a run_id that already committed must
+    never be recomputed — the old overwrite path recomputed todo as
+    empty and clobbered the committed run dir with an empty dataset."""
+    out = str(tmp_path / "out4")
+    job = ExtractionJob(out, num_partitions=2)
+    pages = pages_dataframe(spark, 8, SEED, partitions=2)
+
+    first = job.run(spark, pages, run_id="epoch-000")
+    assert first["urls_processed"] == 8
+
+    # replay of the same epoch (same pages or ANY pages): idempotent
+    replay = job.run(spark, pages, run_id="epoch-000")
+    assert replay.get("replayed") is True
+    assert replay["urls_processed"] == 8  # counters from lineage
+    docs = job.read_docs(spark)
+    assert docs.count() == 8  # data survived the replay intact
+    assert docs.where("text IS NULL").count() == 0

@@ -42,3 +42,13 @@ def test_read_warc_spark_extraction_parity(spark, tmp_path):
     docs = {r["url"]: r["text"] for r in extract_docs(df).collect()}
     exp = {p["url"]: extract_document(p["html"]).text for p in pages}
     assert docs == exp
+
+
+def test_write_warc_str_payload():
+    """str html payloads are encoded utf-8 (bytes(str) used to raise)."""
+    from gluon_ocr_spark.sources.warc import parse_warc, write_warc
+
+    raw = write_warc([{"url": "http://e/x", "warc_ts": None, "html": "<p>héllo</p>"}])
+    recs = list(parse_warc(raw))
+    assert len(recs) == 1
+    assert "héllo" in recs[0]["html"].decode("utf-8")
