@@ -133,3 +133,57 @@ def combine_recog(results: list[dict]) -> dict:
     recall = c / g if g else 0.0
     hmean = 0.0 if precision + recall == 0 else 2 * precision * recall / (precision + recall)
     return {"precision": precision, "recall": recall, "hmean": hmean}
+
+
+# ---------------------------------------------------------------------------
+# M2: masked positional recognition accuracy
+# (semantics of gluonocr/utils/recog_metric.py:8-42, RecogAccuracy)
+# ---------------------------------------------------------------------------
+
+
+def ctc_collapse_padded(preds: np.ndarray, blank: int, max_len: int = 100) -> np.ndarray:
+    """Per-row greedy CTC collapse, -1-padded to ``max_len``.
+
+    Reference ``RecogAccuracy.get_pred`` (recog_metric.py:13-26): keep
+    frame j when it is not blank AND not equal to the RAW previous
+    frame (repeat suppression happens before blank removal, the
+    classic CTC rule)."""
+    preds = np.asarray(preds)
+    batch, seq_len = preds.shape[:2]
+    out = -1 * np.ones((batch, max_len), dtype=np.int64)
+    for i in range(batch):
+        count = 0
+        for j in range(seq_len):
+            if count >= max_len:
+                break
+            if preds[i, j] != blank and not (j > 0 and preds[i, j - 1] == preds[i, j]):
+                out[i, count] = preds[i, j]
+                count += 1
+    return out
+
+
+def recog_accuracy(
+    preds: np.ndarray,
+    labels: np.ndarray,
+    mask: np.ndarray,
+    blank: int | None = None,
+    eps: float = 1e-6,
+) -> float:
+    """Masked per-character positional accuracy, averaged over the
+    batch (reference ``RecogAccuracy.update``, recog_metric.py:28-42).
+
+    ``preds`` may be (batch, seq) class ids or (batch, seq, voc)
+    scores (argmax taken); with ``blank`` set, predictions are
+    CTC-collapsed first. Per row: sum((pred[:L] == label) * mask) /
+    (sum(mask) + eps), L = label length; then mean over rows."""
+    labels = np.asarray(labels).astype("int32")
+    preds = np.asarray(preds)
+    if preds.ndim != labels.ndim:
+        preds = np.argmax(preds, axis=-1).astype("int32")
+    mask = np.asarray(mask)
+    seq_len = labels.shape[-1]
+    if blank is not None:
+        preds = ctc_collapse_padded(preds, blank)
+    acc = preds[:, :seq_len] == labels
+    per_row = np.sum(acc * mask, axis=-1) / (np.sum(mask, axis=-1) + eps)
+    return float(np.mean(per_row))

@@ -66,13 +66,17 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     (ties → lexicographic language order). Pure JVM expressions; the
     per-language scores become one struct-array max, no UDF."""
     toks = pt.tokens(text_col, SPARK)
+    langs = sorted(LANG_PROFILES)
     scored = []
-    for lang in sorted(LANG_PROFILES):
+    for i, lang in enumerate(langs):
         lit = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
         hits = pt.arr_size(pt.arr_filter(toks, f"t -> array_contains(array({lit}), t)", SPARK), SPARK)
-        scored.append(f"struct(cast({hits} as bigint) as score, '{lang}' as lang)")
-    # array_max on struct compares field-by-field: score first, then
-    # lang — ties resolve to the LAST language alphabetically; invert
-    # by ordering desc via negative? keep deterministic: max(score, lang)
+        # tiebreak field: REVERSED index so array_max (field-by-field
+        # struct compare) resolves equal scores to the FIRST language
+        # in sorted order — the same rule as the SQL CASE-chain twin
+        # (sql_text_lang_id), so both APIs classify identically
+        scored.append(
+            f"struct(cast({hits} as bigint) as score, {len(langs) - 1 - i} as tb, '{lang}' as lang)"
+        )
     expr = f"array_max(array({', '.join(scored)})).lang"
     return df.withColumn("lang_pred", F.expr(expr))

@@ -11,9 +11,9 @@ The composite job a pre-training data pipeline runs over a crawl:
 Each stage is a DataFrame transform — one Python (Arrow) stage for
 extraction, everything downstream JVM-side, so Catalyst fuses the
 quality filter + dedup window + projection into the post-UDF stages.
-Stage counters come from a single pass (no double scans): the final
-write carries per-stage booleans aggregated afterwards from the
-written data, auditing what actually committed.
+Stage counters come from a single pass (no double scans): Spark
+``Observation`` metrics attached at stage boundaries are collected
+during the one write action.
 """
 
 from __future__ import annotations
@@ -33,8 +33,20 @@ def prepare_corpus(
     min_tokens: int = 10,
     max_tokens: int = 100_000,
 ) -> dict:
-    """Run the full prep pipeline; returns stage counters."""
+    """Run the full prep pipeline; returns stage counters.
+
+    Counters ride the ONE write pass via ``Observation`` (Spark's
+    query-metrics hook): pages_in is observed on the extraction output
+    (one doc row per input page), corpus_out on the final projection.
+    The previous version re-scanned the input with ``pages.count()``
+    — a second full pass over the lake table at 100 TB."""
+    from pyspark.sql import Observation
+
+    obs_in = Observation("pages_in")
+    obs_out = Observation("corpus_out")
+
     docs = extract_docs(pages, num_partitions=num_partitions)
+    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
     docs = with_fingerprint(with_quality(with_token_stats(docs)))
     qualified = docs.where(
         (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens) & (F.col("n_chars") > 0)
@@ -43,13 +55,11 @@ def prepare_corpus(
     keep = deduped.select(
         "url", "text", "n_lines", "n_chars", "n_tokens", "stop_ratio", "lexical_diversity", "content_fp"
     )
+    keep = keep.observe(obs_out, F.count(F.lit(1)).alias("n"))
     keep.write.mode("overwrite").parquet(out_dir)
 
-    written = spark.read.parquet(out_dir)
-    n_pages = pages.count()
-    n_written = written.count()
     return {
-        "pages_in": n_pages,
-        "corpus_out": n_written,
+        "pages_in": obs_in.get["n"],
+        "corpus_out": obs_out.get["n"],
         "out_dir": out_dir,
     }

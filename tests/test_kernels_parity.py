@@ -143,3 +143,48 @@ def test_recog_distance_reference_example():
     assert combined["precision"] == pytest.approx(7 / 9)
     assert combined["recall"] == pytest.approx(7 / 9)
     assert combined["hmean"] == pytest.approx(7 / 9)
+
+
+class TestRecogAccuracy:
+    """M2 masked positional accuracy (ref recog_metric.py:8-42)."""
+
+    def test_ctc_collapse_padded(self):
+        import numpy as np
+
+        from gluon_ocr_spark.kernels.metrics import ctc_collapse_padded
+
+        # raw frames: [1,1,2,0,2] blank=0 → repeat-suppress then
+        # blank-drop → [1,2,2]
+        out = ctc_collapse_padded(np.array([[1, 1, 2, 0, 2]]), blank=0, max_len=6)
+        assert out.tolist() == [[1, 2, 2, -1, -1, -1]]
+
+    def test_masked_positional_accuracy_hand_computed(self):
+        import numpy as np
+
+        from gluon_ocr_spark.kernels.metrics import recog_accuracy
+
+        # no blank: direct positional compare under mask
+        preds = np.array([[5, 7, 9], [1, 2, 3]])
+        labels = np.array([[5, 7, 0], [1, 9, 3]])
+        mask = np.array([[1, 1, 0], [1, 1, 1]])
+        # row0: matches at masked positions 0,1 → 2/(2+eps)
+        # row1: matches 0 and 2 → 2/(3+eps); mean ≈ (1.0 + 0.6667)/2
+        got = recog_accuracy(preds, labels, mask)
+        assert abs(got - (2 / (2 + 1e-6) + 2 / (3 + 1e-6)) / 2) < 1e-9
+
+    def test_scores_argmax_and_blank_path(self):
+        import numpy as np
+
+        from gluon_ocr_spark.kernels.metrics import recog_accuracy
+
+        # (batch, seq, voc) scores; argmax = [[1,1,2,0,2]] → collapse
+        # blank=0 → [1,2,2]; labels [1,2,2] all masked → accuracy 1
+        voc = 3
+        ids = [1, 1, 2, 0, 2]
+        scores = np.zeros((1, 5, voc))
+        for j, k in enumerate(ids):
+            scores[0, j, k] = 9.0
+        labels = np.array([[1, 2, 2]])
+        mask = np.ones((1, 3))
+        got = recog_accuracy(scores, labels, mask, blank=0)
+        assert abs(got - 3 / (3 + 1e-6)) < 1e-9

@@ -129,3 +129,32 @@ def test_decode_strict_raises():
 
     with pytest.raises(NotImplementedError):
         decode_media_strict(b"\x89PNG")
+
+
+def test_lang_id_tie_break_agrees_across_apis(spark):
+    """Both lang-id APIs (DataFrame twin and SQL CASE-chain) must
+    resolve score ties identically: FIRST language in sorted order.
+    Round 1 diverged (array_max picked last-lex on ties)."""
+    import pandas as pd
+
+    from gluon_ocr_spark.operators.textstats import with_lang_id
+    from gluon_ocr_spark.queries import sql_text_lang_id
+    from gluon_ocr_spark.functions.portable import SPARK as SPARK_D
+
+    # crafted ties: 'la' hits fr AND es profiles equally; 'the und'
+    # ties en/de; empty-ish text ties ALL at zero
+    corpus = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "lang": ["xx", "xx", "xx"],
+            "text": ["la la la", "the und", "zzz qqq"],
+        }
+    )
+    df = spark.createDataFrame(corpus)
+    df.createOrReplaceTempView("documents")
+    api = {r["doc_id"]: r["lang_pred"] for r in with_lang_id(df).collect()}
+    sql = {r["doc_id"]: r["lang_pred"] for r in spark.sql(sql_text_lang_id(SPARK_D)).collect()}
+    assert api == sql
+    assert api[1] == "es"  # es < fr
+    assert api[2] == "de"  # de < en
+    assert api[3] == "de"  # all-zero tie → first sorted lang
