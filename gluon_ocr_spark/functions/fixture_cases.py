@@ -1,0 +1,350 @@
+"""Deterministic kernel-parity cases: one generator + compute per
+kernel family, shared by BOTH sides of the driver's correctness gate.
+
+The Spark side runs ``compute_*`` inside mapInPandas over a
+``spark.range(N_CASES)`` of case ids; the oracle side is a parquet of
+the same rows written once by ``scripts/gen_kernel_fixtures.py`` (the
+same compute, single-process) and read by DuckDB via
+``SELECT … FROM '<path>'``. pytest pins the KERNELS to reference
+semantics (hand-computed + reference-example values); these queries
+prove the distributed execution reproduces the pinned kernels
+bit-exactly under any partitioning.
+
+Inputs derive from the case id alone (seeded ``np.random.Generator``)
+so no input fixture file is needed and the two sides cannot drift.
+Floats are rounded to 9 significant decimals before emission on both
+sides (same code path), keeping the value-hash stable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+N_CASES = 48
+N_IMAGES = 4
+
+_VOCAB = list("abcdefghijklmnopqrstuvwxyz0123456789")  # 36 symbols, blank=36
+
+
+def _rng(family: str, i: int) -> np.random.Generator:
+    # md5-derived seed, NOT Python hash(): str hashing is salted per
+    # process (PYTHONHASHSEED), which would desync executors vs oracle
+    import hashlib
+
+    digest = hashlib.md5(f"{family}:{int(i)}".encode()).hexdigest()
+    return np.random.default_rng(int(digest[:15], 16))
+
+
+def _r(x: float, nd: int = 9) -> float:
+    return float(round(float(x), nd))
+
+
+# -- T1/T2: CTC greedy decode ------------------------------------------------
+
+
+def compute_ctc(i: int) -> dict:
+    from ..kernels.ctc import ctc_collapse, ctc_greedy_decode
+
+    rng = _rng("ctc", i)
+    t = int(rng.integers(5, 40))
+    blank = len(_VOCAB)
+    # biased frames: blanks and repeats are common, like real logits
+    frames = []
+    prev = blank
+    for _ in range(t):
+        if rng.random() < 0.4:
+            frames.append(blank)
+            prev = blank
+        elif rng.random() < 0.3 and prev != blank:
+            frames.append(prev)
+        else:
+            prev = int(rng.integers(0, len(_VOCAB)))
+            frames.append(prev)
+    return {
+        "case_id": int(i),
+        "text": ctc_greedy_decode(frames, _VOCAB, blank=blank),
+        "n_symbols": len(ctc_collapse(frames, blank)),
+    }
+
+
+# -- D12/D13: NMS ------------------------------------------------------------
+
+
+def _nms_input(i: int) -> np.ndarray:
+    rng = _rng("nms", i)
+    k = int(rng.integers(3, 12))
+    rows = []
+    for _ in range(k):
+        cx, cy = rng.uniform(20, 80, size=2)
+        w, h = rng.uniform(8, 30, size=2)
+        jitter = rng.uniform(-3, 3, size=8)
+        quad = np.array([cx - w, cy - h, cx + w, cy - h, cx + w, cy + h, cx - w, cy + h]) + jitter
+        rows.append(np.concatenate([quad, [rng.uniform(0.5, 1.0)]]))
+    arr = np.array(rows)
+    return arr[np.argsort(arr[:, 1])]  # row-scan order like EAST emits
+
+
+def compute_nms(i: int) -> list[dict]:
+    from ..kernels.geometry import locality_aware_nms, standard_nms
+
+    arr = _nms_input(i)
+    kept = locality_aware_nms(arr, thresh=0.3)
+    std_kept = standard_nms(arr, thresh=0.3)
+    out = []
+    for j, row in enumerate(kept):
+        out.append(
+            {
+                "case_id": int(i),
+                "box_id": j,
+                **{f"c{k}": _r(row[k]) for k in range(8)},
+                "score": _r(row[8]),
+                "n_standard_kept": len(std_kept),
+            }
+        )
+    if not out:  # keep every case visible in the output
+        out.append(
+            {
+                "case_id": int(i),
+                "box_id": -1,
+                **{f"c{k}": 0.0 for k in range(8)},
+                "score": 0.0,
+                "n_standard_kept": len(std_kept),
+            }
+        )
+    return out
+
+
+# -- P3/P4/P7: resize plans --------------------------------------------------
+
+
+def compute_resize(i: int) -> dict:
+    from ..kernels.resize import (
+        det_resize_dims,
+        recog_resize_dims,
+        recog_resize_dims_divisor,
+        rot90_if_tall,
+    )
+
+    rng = _rng("resize", i)
+    h = int(rng.integers(8, 4000))
+    w = int(rng.integers(8, 4000))
+    dh, dw = det_resize_dims(h, w)
+    rh, rw = recog_resize_dims(h, w)
+    rdh, rdw = recog_resize_dims_divisor(h, w)
+    th, tw, rot = rot90_if_tall(h, w)
+    return {
+        "case_id": int(i),
+        "h": h,
+        "w": w,
+        "det_h": dh,
+        "det_w": dw,
+        "rec_h": rh,
+        "rec_w": rw,
+        "recd_h": rdh,
+        "recd_w": rdw,
+        "rot_h": th,
+        "rot_w": tw,
+        "rotated": bool(rot),
+    }
+
+
+# -- M1: detection IoU metrics ----------------------------------------------
+
+
+def compute_det_metrics(i: int) -> dict:
+    from ..kernels.metrics import detection_eval
+
+    rng = _rng("detm", i)
+    n_gt = int(rng.integers(1, 6))
+    gts, ignores = [], []
+    for _ in range(n_gt):
+        x, y = rng.uniform(0, 80, size=2)
+        w, h = rng.uniform(10, 30, size=2)
+        gts.append([[x, y], [x + w, y], [x + w, y + h], [x, y + h]])
+        ignores.append(bool(rng.random() < 0.2))
+    preds = []
+    for g in gts:
+        if rng.random() < 0.7:  # detected with jitter
+            j = rng.uniform(-2, 2, size=(4, 2))
+            preds.append((np.array(g) + j).tolist())
+    if rng.random() < 0.5:  # spurious detection
+        x, y = rng.uniform(100, 150, size=2)
+        preds.append([[x, y], [x + 10, y], [x + 10, y + 10], [x, y + 10]])
+    res = detection_eval(gts, preds, ignore=ignores)
+    return {
+        "case_id": int(i),
+        "matched": int(res["matched"]),
+        "gt_care": int(res["gt_care"]),
+        "pred_care": int(res["pred_care"]),
+        "precision": _r(res["precision"]),
+        "recall": _r(res["recall"]),
+        "hmean": _r(res["hmean"]),
+    }
+
+
+# -- M2/M3: recognition metrics ----------------------------------------------
+
+
+def compute_recog_metrics(i: int) -> dict:
+    from ..kernels.metrics import recog_accuracy, recog_distance_eval
+
+    rng = _rng("recm", i)
+    n = int(rng.integers(1, 5))
+    gt, pred = [], []
+    for _ in range(n):
+        L = int(rng.integers(3, 12))
+        s = "".join(_VOCAB[int(v)] for v in rng.integers(0, len(_VOCAB), size=L))
+        # corrupt a few chars for the pred twin
+        p = list(s)
+        for k in range(len(p)):
+            if rng.random() < 0.15:
+                p[k] = _VOCAB[int(rng.integers(0, len(_VOCAB)))]
+        gt.append(s)
+        pred.append("".join(p))
+    m3 = recog_distance_eval(gt, pred)
+    # M2 on padded id matrices (blank-free path: positional compare)
+    seq = max(len(s) for s in gt)
+    labels = np.full((n, seq), -1)
+    preds_m = np.full((n, seq), -2)
+    mask = np.zeros((n, seq))
+    for r, (g, p) in enumerate(zip(gt, pred)):
+        for c, ch in enumerate(g):
+            labels[r, c] = _VOCAB.index(ch)
+            mask[r, c] = 1
+        for c, ch in enumerate(p[:seq]):
+            preds_m[r, c] = _VOCAB.index(ch)
+    acc = recog_accuracy(preds_m, labels, mask)
+    return {
+        "case_id": int(i),
+        "precision": _r(m3["precision"]),
+        "recall": _r(m3["recall"]),
+        "hmean": _r(m3["hmean"]),
+        "masked_acc": _r(acc),
+    }
+
+
+# -- N6: attention decoder ----------------------------------------------------
+
+
+def compute_attention(i: int) -> dict:
+    from ..kernels.attention import GreedyAttentionDecoder
+
+    rng = _rng("attn", i)
+    t = int(rng.integers(3, 20))
+    states = rng.normal(size=(t, 32)).astype(np.float32)
+    dec = GreedyAttentionDecoder(voc_size=len(_VOCAB) + 2, seed=7)
+    ids = dec.decode(states, max_len=24)
+    return {"case_id": int(i), "ids": "-".join(str(v) for v in ids), "n_ids": len(ids)}
+
+
+# -- N1+D1-D8: DBNet forward + raster post-process ----------------------------
+
+
+def _image(family: str, i: int, h: int = 64, w: int = 64) -> np.ndarray:
+    """Synthetic 3×h×w 'page image': noise + a few bright rectangles
+    (text-block analogs) so the detector heads see structure."""
+    rng = _rng(family, i)
+    img = rng.normal(0, 0.3, size=(1, 3, h, w))
+    for _ in range(int(rng.integers(1, 4))):
+        y0 = int(rng.integers(0, h - 16))
+        x0 = int(rng.integers(0, w - 24))
+        img[0, :, y0 : y0 + int(rng.integers(6, 14)), x0 : x0 + int(rng.integers(12, 24))] += 2.0
+    return img
+
+
+def compute_dbnet(i: int, weights_net=None) -> list[dict]:
+    from ..kernels.nets import DBNetNumpy
+    from ..kernels.raster import boxes_from_bitmap
+
+    net = weights_net or DBNetNumpy(seed=7)
+    img = _image("dbnet", i)
+    out = net.forward(img)
+    prob = out["thresh_binary"][0, 0]
+    # seeded heads are untrained: binarize at the map median so the
+    # post-process has blobs to box (the CONTRACT is determinism)
+    thresh = float(np.median(prob))
+    boxes, scores = boxes_from_bitmap(prob, 64, 64, thresh=thresh, box_thresh=0.0, min_area=20)
+    rows = []
+    for j, (b, s) in enumerate(zip(boxes, scores)):
+        rows.append(
+            {
+                "img_id": int(i),
+                "box_id": j,
+                **{f"c{k}": int(v) for k, v in enumerate(b.reshape(8))},
+                "score": _r(s),
+            }
+        )
+    if not rows:
+        rows.append({"img_id": int(i), "box_id": -1, **{f"c{k}": 0 for k in range(8)}, "score": 0.0})
+    return rows
+
+
+# -- N2+T1/T2: CRNN forward + CTC decode --------------------------------------
+
+
+def compute_crnn(i: int, weights_net=None) -> dict:
+    from ..kernels.ctc import ctc_greedy_decode
+    from ..kernels.nets import CRNNNumpy
+
+    net = weights_net or CRNNNumpy(seed=11, voc_size=len(_VOCAB) + 1)
+    rng = _rng("crnn", i)
+    img = rng.normal(size=(1, 3, 32, 64))
+    logits = net.forward(img)[0]
+    ids = np.argmax(logits, axis=-1).tolist()
+    return {
+        "img_id": int(i),
+        "text": ctc_greedy_decode(ids, _VOCAB, blank=len(_VOCAB)),
+        "logit_sum": _r(float(logits.sum()), 6),
+    }
+
+
+# -- N3+D11/D12/D15/D16: EAST forward + post-process ---------------------------
+
+
+def compute_east(i: int, weights_net=None) -> list[dict]:
+    from ..kernels.nets import EASTNumpy
+    from ..kernels.raster import east_detect, sort_poly
+
+    net = weights_net or EASTNumpy(seed=13)
+    img = _image("east", i)
+    score, geo = net.forward(img)
+    sm = score[0, 0]
+    thr = float(np.quantile(sm, 0.9))  # untrained head: top decile fires
+    boxes = east_detect(sm, geo[0], score_thresh=thr, cover_thresh=0.0, nms_thresh=0.2)
+    rows = []
+    for j, b in enumerate(boxes):
+        quad = sort_poly(b[:8].reshape(4, 2).astype(np.int64))
+        rows.append(
+            {
+                "img_id": int(i),
+                "box_id": j,
+                **{f"c{k}": int(v) for k, v in enumerate(quad.reshape(8))},
+                "cover": _r(b[8]),
+            }
+        )
+    if not rows:
+        rows.append({"img_id": int(i), "box_id": -1, **{f"c{k}": 0 for k in range(8)}, "cover": 0.0})
+    return rows
+
+
+FAMILIES = {
+    "kernel_ctc_decode": (compute_ctc, N_CASES),
+    "kernel_nms": (compute_nms, N_CASES),
+    "kernel_resize_plan": (compute_resize, N_CASES),
+    "kernel_det_metrics": (compute_det_metrics, N_CASES),
+    "kernel_recog_metrics": (compute_recog_metrics, N_CASES),
+    "kernel_attention_decode": (compute_attention, N_CASES),
+    "kernel_dbnet_boxes": (compute_dbnet, N_IMAGES),
+    "kernel_crnn_ctc": (compute_crnn, N_IMAGES),
+    "kernel_east_boxes": (compute_east, N_IMAGES),
+}
+
+
+def rows_for(family: str) -> list[dict]:
+    """All expected rows for a family (oracle-side generation)."""
+    fn, n = FAMILIES[family]
+    rows: list[dict] = []
+    for i in range(n):
+        r = fn(i)
+        rows.extend(r if isinstance(r, list) else [r])
+    return rows

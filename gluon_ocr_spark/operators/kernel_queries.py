@@ -1,0 +1,106 @@
+"""Driver-checkable queries for the library kernels (SURVEY §2 rows
+T1/T2, D12/D13, P3/P4/P7, M1/M2/M3, N1/N2/N3/N6 + raster D1-D8,
+D11/D15/D16).
+
+Each family runs :mod:`..functions.fixture_cases` compute inside a
+``mapInPandas`` over ``spark.range(n_cases)`` — distributed, Arrow-
+batched, partitioning-independent — while the DuckDB oracle reads the
+expected parquet written once by ``scripts/gen_kernel_fixtures.py``
+from the SAME compute. pytest pins the kernels to reference
+semantics; this gate pins the distributed plumbing to the kernels.
+
+The net-backed families (dbnet/crnn/east) ship their seeded weights
+to executors via ``SparkContext.broadcast`` — the reference's
+weights-source pattern (S10: params file → every worker; here: one
+driver-constructed weight dict → every executor, serialized once
+instead of per task)."""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import fixture_cases as fc
+
+FIXTURE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))), "fixtures"
+)
+
+SCHEMAS = {
+    "kernel_ctc_decode": "case_id bigint, text string, n_symbols bigint",
+    "kernel_nms": (
+        "case_id bigint, box_id bigint, c0 double, c1 double, c2 double, c3 double, "
+        "c4 double, c5 double, c6 double, c7 double, score double, n_standard_kept bigint"
+    ),
+    "kernel_resize_plan": (
+        "case_id bigint, h bigint, w bigint, det_h bigint, det_w bigint, rec_h bigint, "
+        "rec_w bigint, recd_h bigint, recd_w bigint, rot_h bigint, rot_w bigint, rotated boolean"
+    ),
+    "kernel_det_metrics": (
+        "case_id bigint, matched bigint, gt_care bigint, pred_care bigint, "
+        "precision double, recall double, hmean double"
+    ),
+    "kernel_recog_metrics": "case_id bigint, precision double, recall double, hmean double, masked_acc double",
+    "kernel_attention_decode": "case_id bigint, ids string, n_ids bigint",
+    "kernel_dbnet_boxes": (
+        "img_id bigint, box_id bigint, c0 bigint, c1 bigint, c2 bigint, c3 bigint, "
+        "c4 bigint, c5 bigint, c6 bigint, c7 bigint, score double"
+    ),
+    "kernel_crnn_ctc": "img_id bigint, text string, logit_sum double",
+    "kernel_east_boxes": (
+        "img_id bigint, box_id bigint, c0 bigint, c1 bigint, c2 bigint, c3 bigint, "
+        "c4 bigint, c5 bigint, c6 bigint, c7 bigint, cover double"
+    ),
+}
+
+_BROADCAST_NETS = {
+    "kernel_dbnet_boxes": lambda: __import__(
+        "gluon_ocr_spark.kernels.nets", fromlist=["DBNetNumpy"]
+    ).DBNetNumpy(seed=7),
+    "kernel_crnn_ctc": lambda: __import__(
+        "gluon_ocr_spark.kernels.nets", fromlist=["CRNNNumpy"]
+    ).CRNNNumpy(seed=11, voc_size=len(fc._VOCAB) + 1),
+    "kernel_east_boxes": lambda: __import__(
+        "gluon_ocr_spark.kernels.nets", fromlist=["EASTNumpy"]
+    ).EASTNumpy(seed=13),
+}
+
+
+def _make_query(family: str) -> Callable[[SparkSession, str], DataFrame]:
+    compute, n_cases = fc.FAMILIES[family]
+    schema = SCHEMAS[family]
+    cols = [c.split()[0] for c in schema.split(", ")]
+    net_factory = _BROADCAST_NETS.get(family)
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        bc = spark.sparkContext.broadcast(net_factory()) if net_factory else None
+
+        def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            net = bc.value if bc is not None else None
+            for b in batches:
+                rows: list[dict] = []
+                for i in b["id"]:
+                    r = compute(int(i), net) if net is not None else compute(int(i))
+                    rows.extend(r if isinstance(r, list) else [r])
+                yield pd.DataFrame(rows, columns=cols) if rows else pd.DataFrame(columns=cols)
+
+        base = spark.range(0, n_cases, 1, numPartitions=min(8, n_cases))
+        return base.mapInPandas(gen, schema=schema)
+
+    run.__name__ = f"query_{family}"
+    return run
+
+
+def kernel_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {family: _make_query(family) for family in fc.FAMILIES}
+
+
+def kernel_oracles() -> dict[str, str]:
+    return {
+        family: f"SELECT * FROM '{os.path.join(FIXTURE_DIR, family)}.parquet'"
+        for family in fc.FAMILIES
+    }

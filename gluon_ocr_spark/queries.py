@@ -890,6 +890,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_lines"] = extract_lines_query
     out["extract_stats"] = extract_stats_query
     out["events_session_window_native"] = events_session_window_native
+    from .operators.kernel_queries import kernel_queries
+
+    out.update(kernel_queries())
     return out
 
 
@@ -899,4 +902,7 @@ def oracle_sql() -> dict[str, str]:
     out["extract_lines"] = _oracle_extract_lines(DUCK)
     out["extract_stats"] = _oracle_extract_stats(DUCK)
     out["events_session_window_native"] = _oracle_session_window(DUCK)
+    from .operators.kernel_queries import kernel_oracles
+
+    out.update(kernel_oracles())
     return out

@@ -1,0 +1,187 @@
+"""Seeded NumPy net forwards (N1/N2/N3) + raster post-process
+(D1-D8 raster, D11, D15, D16) — reference-semantics tests.
+
+Reference files: gluonocr/model_zoo/dbnet/db_net.py:43-75,
+crnn/crnn.py:28-38, east/east.py:45-58,
+post_process/db_postprocess.py:67-163, east_postprocess.py:15-74.
+"""
+
+import numpy as np
+import pytest
+
+from gluon_ocr_spark.kernels.nets import CRNNNumpy, DBNetNumpy, EASTNumpy
+from gluon_ocr_spark.kernels.raster import (
+    boxes_from_bitmap,
+    box_score_fast,
+    connected_components,
+    east_detect,
+    fill_poly_mask,
+    min_area_rect,
+    restore_rectangle_quad,
+    sort_poly,
+    unclip_convex,
+)
+
+
+class TestNets:
+    def test_dbnet_shapes_and_determinism(self):
+        x = np.random.default_rng(0).normal(size=(1, 3, 64, 64))
+        out1 = DBNetNumpy(seed=7).forward(x)
+        out2 = DBNetNumpy(seed=7).forward(x)
+        assert out1["binary"].shape == (1, 1, 64, 64)
+        for k in ("binary", "thresh", "thresh_binary"):
+            assert np.array_equal(out1[k], out2[k])  # bit-identical
+        assert out1["binary"].min() >= 0 and out1["binary"].max() <= 1
+
+    def test_dbnet_thresh_binary_formula(self):
+        # thresh_binary = sigmoid(k·(binary − thresh)), k=10
+        # (db_net.py:72: 1/(1+exp(-k(binary-thresh))))
+        x = np.random.default_rng(1).normal(size=(1, 3, 32, 32))
+        out = DBNetNumpy(seed=3).forward(x)
+        expect = 1.0 / (1.0 + np.exp(-10.0 * (out["binary"] - out["thresh"])))
+        assert np.abs(expect - out["thresh_binary"]).max() == 0.0
+
+    def test_dbnet_seed_changes_output(self):
+        x = np.random.default_rng(0).normal(size=(1, 3, 32, 32))
+        a = DBNetNumpy(seed=7).forward(x)["binary"]
+        b = DBNetNumpy(seed=8).forward(x)["binary"]
+        assert not np.array_equal(a, b)
+
+    def test_crnn_seq_axis_and_determinism(self):
+        # H collapses to 1, W is the sequence axis at W/2 (asymmetric
+        # strides, crnn.py:60-62); logits (N, T, voc)
+        x = np.random.default_rng(2).normal(size=(2, 3, 32, 48))
+        net = CRNNNumpy(seed=11, voc_size=37)
+        lg = net.forward(x)
+        assert lg.shape == (2, 24, 37)
+        assert np.array_equal(lg, CRNNNumpy(seed=11, voc_size=37).forward(x))
+
+    def test_crnn_feeds_ctc(self):
+        from gluon_ocr_spark.kernels.ctc import ctc_greedy_decode
+
+        x = np.random.default_rng(3).normal(size=(1, 3, 32, 64))
+        lg = CRNNNumpy(seed=11, voc_size=5).forward(x)
+        ids = np.argmax(lg[0], axis=-1).tolist()
+        # decodes without error and is deterministic
+        vocab = ["a", "b", "c", "d"]  # blank = voc_size-1 = 4
+        txt1 = ctc_greedy_decode(ids, vocab, blank=4)
+        txt2 = ctc_greedy_decode(ids, vocab, blank=4)
+        assert txt1 == txt2
+
+    def test_east_shapes_and_geo_range(self):
+        x = np.random.default_rng(4).normal(size=(1, 3, 64, 64))
+        score, geo = EASTNumpy(seed=13).forward(x)
+        assert score.shape == (1, 1, 16, 16)  # /4 of input
+        assert geo.shape == (1, 8, 16, 16)
+        assert score.min() >= 0 and score.max() <= 1
+        assert geo.min() >= -800 and geo.max() <= 800  # (σ−.5)·2·800
+
+
+class TestRaster:
+    def test_connected_components_8conn(self):
+        m = np.zeros((5, 5), bool)
+        m[0, 0] = m[1, 1] = True  # diagonal touch = one 8-conn comp
+        m[4, 4] = True
+        comps = connected_components(m)
+        assert sorted(len(c) for c in comps) == [1, 2]
+
+    def test_min_area_rect_rotated(self):
+        ang = np.deg2rad(30)
+        R = np.array([[np.cos(ang), -np.sin(ang)], [np.sin(ang), np.cos(ang)]])
+        rect = np.array([[0, 0], [20, 0], [20, 8], [0, 8]], float) @ R.T + 30
+        corners, wh = min_area_rect(rect)
+        assert sorted(np.round(wh, 6)) == [8.0, 20.0]
+        # corners enclose the rect within fp noise
+        assert abs(abs(np.cross(corners[1] - corners[0], corners[3] - corners[0])) - 160) < 1e-6
+
+    def test_unclip_square_exact_distance(self):
+        # d = area·ratio/perimeter = 100·1.8/40 = 4.5 each side
+        sq = np.array([[10, 10], [20, 10], [20, 20], [10, 20]], float)
+        out = unclip_convex(sq, 1.8)
+        assert np.allclose(sorted(out[:, 0]), [5.5, 5.5, 24.5, 24.5])
+        assert np.allclose(sorted(out[:, 1]), [5.5, 5.5, 24.5, 24.5])
+
+    def test_box_score_fast_mean_inside(self):
+        pred = np.zeros((20, 20))
+        pred[5:10, 5:15] = 0.8
+        box = np.array([[5, 5], [14, 5], [14, 9], [5, 9]], float)
+        s = box_score_fast(pred, box)
+        assert 0.75 <= s <= 0.85
+
+    def test_boxes_from_bitmap_two_rects(self):
+        pred = np.zeros((64, 64))
+        pred[10:20, 5:40] = 0.95
+        pred[40:50, 30:60] = 0.9
+        boxes, scores = boxes_from_bitmap(pred, 64, 64)
+        assert boxes.shape == (2, 4, 2)
+        assert np.allclose(sorted(scores.round(2)), [0.9, 0.95])
+        # unclipped boxes still ordered TL,TR,BR,BL and inside canvas
+        assert (boxes >= 0).all() and (boxes <= 64).all()
+
+    def test_boxes_filters(self):
+        # low score blob and tiny blob are dropped
+        pred = np.zeros((64, 64))
+        pred[5:7, 5:7] = 0.9  # tiny → min_size filter
+        pred[30:40, 10:40] = 0.4  # low prob → box_thresh filter (score .4)
+        boxes, scores = boxes_from_bitmap(pred, 64, 64, thresh=0.3, box_thresh=0.7)
+        assert len(boxes) == 0
+
+    def test_restore_rectangle_quad_identity(self):
+        origin = np.array([[100.0, 60.0]])
+        geo = np.array([[10.0, 5.0, -20.0, 5.0, -20.0, -15.0, 10.0, -15.0]])
+        quad = restore_rectangle_quad(origin, geo)
+        assert np.allclose(quad[0], [[90, 55], [120, 55], [120, 75], [90, 75]])
+
+    def test_east_detect_recovers_quad(self):
+        score = np.zeros((16, 16))
+        score[4:6, 4:8] = 0.9
+        geo = np.zeros((16, 16, 8))
+        target = np.array([10, 10, 40, 10, 40, 25, 10, 25], float)
+        for y, x in np.argwhere(score > 0.8):
+            geo[y, x] = np.array([x * 4, y * 4] * 4) - target
+        out = east_detect(score, np.transpose(geo, (2, 0, 1)))
+        assert out.shape[0] == 1
+        assert np.allclose(out[0, :8], target)
+
+    def test_east_detect_cover_refilter(self):
+        # a quad landing on a zero-score region is refiltered out
+        score = np.zeros((16, 16))
+        score[0, 0] = 0.9
+        geo = np.zeros((16, 16, 8))
+        far = np.array([40, 40, 60, 40, 60, 60, 40, 60], float)
+        geo[0, 0] = np.array([0, 0] * 4, float) - far
+        out = east_detect(score, np.transpose(geo, (2, 0, 1)), cover_thresh=0.1)
+        assert out.shape[0] == 0
+
+    def test_sort_poly_reference_cases(self):
+        # horizontal-first quad: unchanged order from min-corner
+        p = np.array([[0, 0], [10, 0], [10, 5], [0, 5]])
+        assert sort_poly(p).tolist() == [[0, 0], [10, 0], [10, 5], [0, 5]]
+        # vertical-first edge → traversal flipped (east_postprocess.py:70-74)
+        q = np.array([[5, 0], [5, 10], [0, 10], [0, 0]])
+        assert sort_poly(q).tolist() == [[0, 0], [5, 0], [5, 10], [0, 10]]
+
+    def test_fill_poly_even_odd(self):
+        tri = np.array([[0, 0], [8, 0], [0, 8]], float)
+        m = fill_poly_mask((10, 10), tri)
+        assert m[1, 1] and not m[8, 8]
+
+
+def test_committed_fixtures_match_kernels():
+    """fixtures/*.parquet (the DuckDB oracle side of the kernel-parity
+    gate) must equal what the kernels compute NOW — a kernel edit
+    without scripts/gen_kernel_fixtures.py regeneration fails here
+    instead of at the driver."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    from gluon_ocr_spark.functions.fixture_cases import FAMILIES, rows_for
+    from gluon_ocr_spark.operators.kernel_queries import FIXTURE_DIR
+
+    for family in FAMILIES:
+        path = os.path.join(FIXTURE_DIR, f"{family}.parquet")
+        assert os.path.exists(path), f"missing fixture {path}; run scripts/gen_kernel_fixtures.py"
+        stored = pq.read_table(path).to_pylist()
+        live = rows_for(family)
+        assert stored == live, f"stale fixture for {family}; regenerate and commit"
