@@ -293,6 +293,41 @@ def sql_dedup_simhash(d: str) -> str:
     """
 
 
+def sql_dedup_simhash_hamming(d: str) -> str:
+    """SimHash near-dup pairs within Hamming distance ≤ 2 — the
+    rotate-band extension of Hamming-0 blocking, still equi-join
+    shaped for 100TB.
+
+    The 16-bit simhash splits into 4 bands of 4 bits. Any ≤2
+    differing bits fall into at most 2 bands, so blocking on the hash
+    with every PAIR of bands masked out (C(4,2)=6 keys per doc)
+    guarantees each qualifying pair collides on at least one key;
+    candidates are then verified with an exact popcount. 6 keys/doc =
+    constant blow-up; the join is a bucket equi-join on
+    (mask_id, masked_value), never all-pairs."""
+    codes = pt.token_codes("text", d)
+    band = lambda i: 0xF << (4 * i)  # noqa: E731
+    masks = [
+        (idx, 0xFFFF & ~(band(i) | band(j)))
+        for idx, (i, j) in enumerate((i, j) for i in range(4) for j in range(i + 1, 4))
+    ]
+    mask_rows = ", ".join(f"({idx}, {m})" for idx, m in masks)
+    xor = "(a.sh ^ b.sh)" if d == SPARK else "xor(a.sh, b.sh)"
+    return f"""
+    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents),
+    s AS (SELECT doc_id, {pt.simhash16_expr('codes', d)} AS sh FROM c),
+    m (mask_id, mask) AS (VALUES {mask_rows}),
+    k AS (
+        SELECT doc_id, sh, mask_id, sh & mask AS bucket FROM s CROSS JOIN m
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count({xor}) AS INT) AS hamming
+    FROM k a JOIN k b ON a.mask_id = b.mask_id AND a.bucket = b.bucket
+                      AND a.doc_id < b.doc_id
+    WHERE bit_count({xor}) <= 2
+    """
+
+
 # ---------------------------------------------------------------------------
 # Similarity search (embeddings table)
 # ---------------------------------------------------------------------------
@@ -764,6 +799,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_minhash_pairs": sql_dedup_minhash_pairs,
     "dedup_shingle_minhash": sql_dedup_shingle_minhash,
     "dedup_simhash": sql_dedup_simhash,
+    "dedup_simhash_hamming": sql_dedup_simhash_hamming,
     "dedup_embedding_cosine": sql_dedup_embedding_cosine,
     "ann_topk": sql_ann_topk,
     "ann_lsh_buckets": sql_ann_lsh_buckets,
