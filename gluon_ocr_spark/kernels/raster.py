@@ -39,6 +39,9 @@ __all__ = [
     "box_score_fast",
     "unclip_convex",
     "boxes_from_bitmap",
+    "trace_boundary",
+    "douglas_peucker",
+    "polygons_from_bitmap",
     "restore_rectangle_quad",
     "east_detect",
     "sort_poly",
@@ -326,3 +329,139 @@ def sort_poly(p: np.ndarray) -> np.ndarray:
     if abs(p[0, 0] - p[1, 0]) > abs(p[0, 1] - p[1, 1]):
         return p
     return p[[0, 3, 2, 1]]
+
+
+# ---------------------------------------------------------------------------
+# D9 polygon mode (db_postprocess.polygons_from_bitmap, :23-66)
+# ---------------------------------------------------------------------------
+
+
+def trace_boundary(mask: np.ndarray) -> np.ndarray:
+    """Ordered outer-boundary pixels of the largest-first component in
+    a boolean mask (Moore neighbor tracing, 8-connectivity) — the
+    cv2.findContours contour stand-in. Returns (k, 2) (x, y) points."""
+    h, w = mask.shape
+    start = None
+    for y in range(h):
+        xs = np.flatnonzero(mask[y])
+        if xs.size:
+            start = (int(xs[0]), y)
+            break
+    if start is None:
+        return np.empty((0, 2), dtype=np.int64)
+    # Moore neighborhood in clockwise order starting from W
+    nbrs = [(-1, 0), (-1, -1), (0, -1), (1, -1), (1, 0), (1, 1), (0, 1), (-1, 1)]
+
+    def is_fg(p):
+        x, y = p
+        return 0 <= x < w and 0 <= y < h and mask[y, x]
+
+    contour = [start]
+    prev_dir = 0  # came from the west
+    cur = start
+    for _ in range(4 * h * w):  # hard bound
+        found = False
+        for k in range(8):
+            d = (prev_dir + k) % 8
+            nx, ny = cur[0] + nbrs[d][0], cur[1] + nbrs[d][1]
+            if is_fg((nx, ny)):
+                if (nx, ny) == start and len(contour) > 1:
+                    return np.array(contour, dtype=np.int64)
+                contour.append((nx, ny))
+                cur = (nx, ny)
+                # back up: next search starts from the pixel before
+                prev_dir = (d + 5) % 8
+                found = True
+                break
+        if not found:  # isolated pixel
+            return np.array(contour, dtype=np.int64)
+    return np.array(contour, dtype=np.int64)
+
+
+def douglas_peucker(points: np.ndarray, eps: float) -> np.ndarray:
+    """Closed-polygon Douglas-Peucker simplification — the
+    cv2.approxPolyDP stand-in. Splits the ring at its two mutually
+    farthest points, simplifies each open chain recursively."""
+    pts = np.asarray(points, dtype=np.float64)
+    n = len(pts)
+    if n < 3:
+        return pts
+    # anchor pair: point farthest from point 0, then farthest from it
+    d0 = np.linalg.norm(pts - pts[0], axis=1)
+    a = int(np.argmax(d0))
+    da = np.linalg.norm(pts - pts[a], axis=1)
+    b = int(np.argmax(da))
+    i, j = sorted((a, b))
+
+    def simplify(chain):
+        if len(chain) < 3:
+            return chain
+        p0, p1 = chain[0], chain[-1]
+        seg = p1 - p0
+        ln = np.linalg.norm(seg)
+        if ln == 0:
+            dists = np.linalg.norm(chain - p0, axis=1)
+        else:
+            dists = np.abs(np.cross(seg, chain - p0)) / ln
+        k = int(np.argmax(dists))
+        if dists[k] <= eps:
+            return np.array([p0, p1])
+        left = simplify(chain[: k + 1])
+        right = simplify(chain[k:])
+        return np.concatenate([left[:-1], right])
+
+    chain1 = simplify(pts[i : j + 1])
+    chain2 = simplify(np.concatenate([pts[j:], pts[: i + 1]]))
+    ring = np.concatenate([chain1[:-1], chain2[:-1]])
+    return ring
+
+
+def polygons_from_bitmap(
+    pred: np.ndarray,
+    dest_width: int,
+    dest_height: int,
+    thresh: float = 0.3,
+    box_thresh: float = 0.7,
+    min_size: int = 4,
+    unclip_ratio: float = 2.0,
+) -> tuple[list[np.ndarray], list[float]]:
+    """D9: polygon-mode post-process (db_postprocess.py:23-66):
+    binarize → contour trace → Douglas-Peucker at 1% of perimeter →
+    <4-point filter → unclip → score/size filters → rescale.
+
+    Deviation from the reference (documented): unclip offsets the
+    polygon's CONVEX HULL with miter joins (pyclipper's Vatti offset
+    handles non-convex rings; hull-offset encloses a superset and is
+    identical for the convex blobs the detector emits)."""
+    if pred.ndim == 3 and pred.shape[0] == 1:
+        pred = pred[0]
+    bitmap = pred > thresh
+    height, width = bitmap.shape
+    polys: list[np.ndarray] = []
+    scores: list[float] = []
+    for comp in connected_components(bitmap):
+        m = np.zeros_like(bitmap)
+        m[comp[:, 1], comp[:, 0]] = True
+        contour = trace_boundary(m)
+        if len(contour) < 4:
+            continue
+        per = float(np.linalg.norm(np.diff(np.vstack([contour, contour[:1]]), axis=0), axis=1).sum())
+        approx = douglas_peucker(contour, 0.01 * per)
+        if approx.shape[0] < 4:
+            continue
+        score = box_score_fast(pred, approx)
+        if score < box_thresh:
+            continue
+        hull = convex_hull(approx)
+        if len(hull) < 3:
+            continue
+        box = unclip_convex(hull, unclip_ratio)
+        _, wh = min_area_rect(box)
+        if min(wh) < min_size + 2:
+            continue
+        out = box.copy()
+        out[:, 0] = np.clip(np.round(out[:, 0] / width * dest_width), 0, dest_width)
+        out[:, 1] = np.clip(np.round(out[:, 1] / height * dest_height), 0, dest_height)
+        polys.append(out.astype(np.int64))
+        scores.append(score)
+    return polys, scores

@@ -429,6 +429,48 @@ def sql_ann_ivf_topk(d: str) -> str:
     """
 
 
+def sql_ann_ivf_nprobe2(d: str) -> str:
+    """IVF ANN with nprobe=2: each query searches its TWO nearest
+    coarse cells (recall knob of the IVF family). The probe set is
+    2 rows per query, so the cell lookup stays a bucket equi-join —
+    at 10^12 rows with bucketed-by(cell) storage this prunes to
+    2/n_cells of the corpus per query. Exact int64 arithmetic ⇒
+    bit-identical across engines."""
+    q = pt.quantize_vec("embedding", d)
+    if d == SPARK:
+        dist = "aggregate(zip_with(v.q, c.q, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, t) -> acc + t)"
+    else:
+        dist = "list_sum(list_transform(list_zip(v.q, c.q), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    dot = pt.int_dot("qp.qq", "e.q", d)
+    return f"""
+    WITH e0 AS (SELECT vec_id, {q} AS q FROM embeddings),
+    centers AS (SELECT vec_id AS cid, q FROM e0 WHERE vec_id < {_IVF_CENTERS}),
+    ranked AS (
+        SELECT v.vec_id, c.cid,
+               row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
+        FROM e0 v CROSS JOIN centers c
+    ),
+    assign AS (SELECT vec_id, cid AS cell FROM ranked WHERE rn = 1),
+    e AS (SELECT e0.vec_id, e0.q, assign.cell FROM e0 JOIN assign ON e0.vec_id = assign.vec_id),
+    qprobe AS (
+        SELECT r.vec_id AS query_id, q0.q AS qq, r.cid AS probe_cell
+        FROM ranked r JOIN e0 q0 ON r.vec_id = q0.vec_id
+        WHERE r.vec_id < {_N_QUERIES} AND r.rn <= 2
+    )
+    SELECT query_id, neighbor_id, dot, rnk
+    FROM (
+        SELECT query_id, neighbor_id, dot,
+               row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+        FROM (
+            SELECT qp.query_id, e.vec_id AS neighbor_id, {dot} AS dot
+            FROM qprobe qp JOIN e ON e.cell = qp.probe_cell
+            WHERE e.vec_id <> qp.query_id
+        ) d0
+    ) d1
+    WHERE rnk <= {_TOP_K}
+    """
+
+
 def sql_ann_lsh_buckets(d: str) -> str:
     """Random-hyperplane LSH bucketing of the embedding space — the
     scale path: bucket cardinalities stay bounded, so the within-bucket
@@ -805,6 +847,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "ann_lsh_buckets": sql_ann_lsh_buckets,
     "ann_lsh_topk": sql_ann_lsh_topk,
     "ann_ivf_topk": sql_ann_ivf_topk,
+    "ann_ivf_nprobe2": sql_ann_ivf_nprobe2,
     "q1_pricing_summary": sql_q1_pricing_summary,
     "q3_shipping_priority": sql_q3_shipping_priority,
     "q10_returned_items": sql_q10_returned_items,

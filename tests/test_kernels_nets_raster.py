@@ -12,6 +12,9 @@ import pytest
 from gluon_ocr_spark.kernels.nets import CRNNNumpy, DBNetNumpy, EASTNumpy
 from gluon_ocr_spark.kernels.raster import (
     boxes_from_bitmap,
+    douglas_peucker,
+    polygons_from_bitmap,
+    trace_boundary,
     box_score_fast,
     connected_components,
     east_detect,
@@ -185,3 +188,45 @@ def test_committed_fixtures_match_kernels():
         stored = pq.read_table(path).to_pylist()
         live = rows_for(family)
         assert stored == live, f"stale fixture for {family}; regenerate and commit"
+
+
+class TestPolygonMode:
+    """D9 polygon mode (db_postprocess.polygons_from_bitmap:23-66)."""
+
+    def test_trace_boundary_rect(self):
+        m = np.zeros((20, 20), bool)
+        m[5:10, 3:12] = True
+        c = trace_boundary(m)
+        # boundary of a 9x5 rect = 2*(9+5)-4 = 24 pixels
+        assert len(c) == 24
+        assert set(map(tuple, c)) == {
+            (x, y)
+            for x in range(3, 12)
+            for y in range(5, 10)
+            if x in (3, 11) or y in (5, 9)
+        }
+
+    def test_douglas_peucker_rect_to_4pts(self):
+        m = np.zeros((20, 20), bool)
+        m[5:10, 3:12] = True
+        c = trace_boundary(m)
+        dp = douglas_peucker(c.astype(float), 0.5)
+        assert len(dp) == 4
+
+    def test_polygons_from_bitmap_l_shape(self):
+        pred = np.zeros((64, 64))
+        pred[10:30, 10:18] = 0.9
+        pred[22:30, 10:40] = 0.9
+        polys, scores = polygons_from_bitmap(pred, 64, 64)
+        assert len(polys) == 1
+        assert 0.85 <= scores[0] <= 0.95
+        # Douglas-Peucker keeps the L's 6 corners pre-unclip; after
+        # hull+unclip the poly has >= 4 points and stays in canvas
+        assert polys[0].shape[0] >= 4
+        assert (polys[0] >= 0).all() and (polys[0] <= 64).all()
+
+    def test_polygons_filters_low_score(self):
+        pred = np.zeros((32, 32))
+        pred[5:15, 5:25] = 0.4  # above thresh 0.3 but below box_thresh
+        polys, _ = polygons_from_bitmap(pred, 32, 32, thresh=0.3, box_thresh=0.7)
+        assert polys == []
