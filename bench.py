@@ -235,10 +235,15 @@ def main() -> None:
     if os.environ.get("SPARK_GRAFT_BENCH_SMT_PAIR", "1") == "1":
         smt_lo = extraction_run(8, pages_path)
         smt_hi = extraction_run(CPUS, pages_path)
+        smt_hw_ratio = smt_hi["hw_docs_per_sec"] / smt_lo["hw_docs_per_sec"]
         extraction["smt_pair"] = {
             "lo": smt_lo,
             "hi": smt_hi,
             "scaling_efficiency": round((smt_hi["docs_per_sec"] / smt_lo["docs_per_sec"]) / (CPUS / 8), 3),
+            "relative_efficiency": round(
+                (smt_hi["docs_per_sec"] / smt_lo["docs_per_sec"]) / smt_hw_ratio, 3
+            ),
+            "hw_window_suspect": smt_hw_ratio < 1.0 or _bracket_unstable(smt_lo) or _bracket_unstable(smt_hi),
         }
 
     # -- query battery ----------------------------------------------
