@@ -327,6 +327,58 @@ def compute_east(i: int, weights_net=None) -> list[dict]:
     return rows
 
 
+# -- D14: soft-NMS -------------------------------------------------------------
+
+
+def compute_soft_nms(i: int) -> list[dict]:
+    from ..kernels.geometry import soft_nms
+
+    arr = _nms_input(i)  # same candidate generator as kernel_nms
+    kept = soft_nms(arr, threshold=0.4)
+    out = []
+    for j, row in enumerate(kept):
+        out.append(
+            {
+                "case_id": int(i),
+                "box_id": j,
+                **{f"c{k}": _r(row[k]) for k in range(8)},
+                "score": _r(row[8]),
+            }
+        )
+    if not out:
+        out.append({"case_id": int(i), "box_id": -1, **{f"c{k}": 0.0 for k in range(8)}, "score": 0.0})
+    return out
+
+
+# -- G1/G2: label generation ---------------------------------------------------
+
+
+def compute_labelgen(i: int) -> dict:
+    from ..kernels.labelgen import make_border_map, make_shrink_map
+
+    rng = _rng("labelgen", i)
+    h = w = 64
+    polys, tags = [], []
+    for _ in range(int(rng.integers(1, 4))):
+        x0, y0 = rng.uniform(0, 40, size=2)
+        pw, ph = rng.uniform(6, 28, size=2)
+        polys.append(
+            np.array([[x0, y0], [x0 + pw, y0], [x0 + pw, y0 + ph], [x0, y0 + ph]])
+        )
+        tags.append(bool(rng.random() < 0.2))
+    shrink = make_shrink_map((h, w), polys, tags, gen_geometry=True)
+    border = make_border_map((h, w), polys, shrink["ignore_tags"])
+    return {
+        "case_id": int(i),
+        "gt_pixels": int(shrink["gt"].sum()),
+        "masked_out_pixels": int((shrink["mask"] == 0).sum()),
+        "n_ignored": int(sum(shrink["ignore_tags"])),
+        "geo_norm_sum": _r(float(shrink["geo_map"][8].sum()), 6),
+        "border_mean": _r(float(border["thresh_map"].mean()), 6),
+        "border_mask_pixels": int(border["thresh_mask"].sum()),
+    }
+
+
 FAMILIES = {
     "kernel_ctc_decode": (compute_ctc, N_CASES),
     "kernel_nms": (compute_nms, N_CASES),
@@ -337,6 +389,8 @@ FAMILIES = {
     "kernel_dbnet_boxes": (compute_dbnet, N_IMAGES),
     "kernel_crnn_ctc": (compute_crnn, N_IMAGES),
     "kernel_east_boxes": (compute_east, N_IMAGES),
+    "kernel_soft_nms": (compute_soft_nms, N_CASES),
+    "kernel_labelgen": (compute_labelgen, N_CASES),
 }
 
 

@@ -148,3 +148,46 @@ def locality_aware_nms(polys: np.ndarray, thresh: float = 0.3) -> np.ndarray:
         return np.empty((0, 9))
     arr = np.array(merged)
     return arr[standard_nms(arr, thresh)]
+
+
+def soft_nms(
+    boxes_in: np.ndarray,
+    nt_thresh: float = 0.3,
+    threshold: float = 0.8,
+    sigma: float = 0.5,
+    method: int = 2,
+) -> np.ndarray:
+    """Soft-NMS over N×9 (8 coords + score) boxes — semantics of the
+    reference ``soft_nms`` (locality_aware_nms.py:105-169): greedy
+    max-score selection with in-place swap; every remaining
+    overlapping box's score decays by ``1 − iou`` (linear, method 1,
+    only past ``nt_thresh``), ``exp(−iou²/σ)`` (gaussian, method 2),
+    or a hard 0/1 cut (otherwise); boxes falling below ``threshold``
+    are discarded by swap-with-last."""
+    boxes = np.asarray(boxes_in, dtype=np.float64).copy()
+    n = boxes.shape[0]
+    if n < 1:
+        return np.empty((0, 9))
+    i = 0
+    while i < n:
+        maxpos = i + int(np.argmax(boxes[i:n, 8]))
+        boxes[[i, maxpos]] = boxes[[maxpos, i]]
+        tquad = boxes[i, :8].reshape(4, 2)
+        pos = i + 1
+        while pos < n:
+            v = iou(tquad, boxes[pos, :8].reshape(4, 2))
+            if v > 0:
+                if method == 1:
+                    weight = 1 - v if v > nt_thresh else 1.0
+                elif method == 2:
+                    weight = float(np.exp(-(v * v) / sigma))
+                else:
+                    weight = 0.0 if v > nt_thresh else 1.0
+                boxes[pos, 8] *= weight
+                if boxes[pos, 8] < threshold:
+                    boxes[pos] = boxes[n - 1]
+                    n -= 1
+                    pos -= 1
+            pos += 1
+        i += 1
+    return boxes[:n]

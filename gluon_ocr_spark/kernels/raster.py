@@ -38,6 +38,7 @@ __all__ = [
     "fill_poly_mask",
     "box_score_fast",
     "unclip_convex",
+    "offset_convex",
     "boxes_from_bitmap",
     "trace_boundary",
     "douglas_peucker",
@@ -189,19 +190,17 @@ def box_score_fast(pred: np.ndarray, box: np.ndarray) -> float:
     return float(pred[ymin : ymax + 1, xmin : xmax + 1][mask].mean())
 
 
-def unclip_convex(box: np.ndarray, unclip_ratio: float = 1.8) -> np.ndarray:
-    """Outward offset of a convex polygon by
-    ``d = area·ratio/perimeter`` (db_postprocess.py:122-128), miter
-    joins: each edge slides along its outward normal by d, adjacent
-    offset edges re-intersect."""
+def offset_convex(box: np.ndarray, d: float) -> np.ndarray | None:
+    """Signed miter offset of a convex polygon: d>0 expands, d<0
+    shrinks; each edge slides along its outward normal by d, adjacent
+    offset edges re-intersect. Returns None when an inward offset
+    collapses the polygon (the pyclipper Execute(-d) == [] case)."""
     p = np.asarray(box, dtype=np.float64)
-    area = abs(polygon_area(p))
-    per = float(sum(np.linalg.norm(p[(i + 1) % len(p)] - p[i]) for i in range(len(p))))
-    if per == 0:
-        return p.copy()
-    d = area * unclip_ratio / per
-    # orientation sign: make normals point outward for either winding
-    sign = 1.0 if polygon_area(p) > 0 else -1.0
+    # orientation sign from SIGNED shoelace (geometry.polygon_area is
+    # absolute): makes normals point outward for either winding
+    x, y = p[:, 0], p[:, 1]
+    signed2 = float(np.sum(x * np.roll(y, -1) - np.roll(x, -1) * y))
+    sign = 1.0 if signed2 > 0 else -1.0
     n = len(p)
     lines = []  # (point_on_line, direction)
     for i in range(n):
@@ -222,7 +221,39 @@ def unclip_convex(box: np.ndarray, unclip_ratio: float = 1.8) -> np.ndarray:
             continue
         t = ((p2[0] - p1[0]) * d2[1] - (p2[1] - p1[1]) * d2[0]) / denom
         out.append(p1 + t * d1)
-    return np.array(out)
+    result = np.array(out)
+    if d < 0:
+        # The true inward offset is the intersection of the edge
+        # half-planes; the miter ring equals it ONLY while every
+        # vertex still satisfies every constraint. (An orientation
+        # test cannot detect collapse: reflection through the center
+        # preserves orientation, e.g. a square shrunk past its
+        # inradius flips into a smaller same-orientation square.)
+        if len(result) < 3 or abs(polygon_area(result)) < 1e-9:
+            return None
+        for i in range(n):
+            a, b = p[i], p[(i + 1) % n]
+            e = b - a
+            ln = np.linalg.norm(e)
+            if ln == 0:
+                continue
+            nrm = sign * np.array([e[1], -e[0]]) / ln
+            bound = float(nrm @ a) + d
+            if (result @ nrm > bound + 1e-9).any():
+                return None  # inward offset swallowed the polygon
+    return result
+
+
+def unclip_convex(box: np.ndarray, unclip_ratio: float = 1.8) -> np.ndarray:
+    """Outward offset by ``d = area·ratio/perimeter``
+    (db_postprocess.py:122-128)."""
+    p = np.asarray(box, dtype=np.float64)
+    area = abs(polygon_area(p))
+    per = float(sum(np.linalg.norm(p[(i + 1) % len(p)] - p[i]) for i in range(len(p))))
+    if per == 0:
+        return p.copy()
+    out = offset_convex(p, area * unclip_ratio / per)
+    return p.copy() if out is None else out
 
 
 def boxes_from_bitmap(

@@ -55,6 +55,14 @@ SCHEMAS = {
         "img_id bigint, box_id bigint, c0 bigint, c1 bigint, c2 bigint, c3 bigint, "
         "c4 bigint, c5 bigint, c6 bigint, c7 bigint, cover double"
     ),
+    "kernel_soft_nms": (
+        "case_id bigint, box_id bigint, c0 double, c1 double, c2 double, c3 double, "
+        "c4 double, c5 double, c6 double, c7 double, score double"
+    ),
+    "kernel_labelgen": (
+        "case_id bigint, gt_pixels bigint, masked_out_pixels bigint, n_ignored bigint, "
+        "geo_norm_sum double, border_mean double, border_mask_pixels bigint"
+    ),
 }
 
 _BROADCAST_NETS = {

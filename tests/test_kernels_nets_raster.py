@@ -230,3 +230,94 @@ class TestPolygonMode:
         pred[5:15, 5:25] = 0.4  # above thresh 0.3 but below box_thresh
         polys, _ = polygons_from_bitmap(pred, 32, 32, thresh=0.3, box_thresh=0.7)
         assert polys == []
+
+
+class TestLabelGen:
+    """G1/G2 label generation (make_seg_data.py:14-230) + D14 soft-NMS
+    (locality_aware_nms.py:105-169)."""
+
+    def test_shrink_map_rect_geometry(self):
+        from gluon_ocr_spark.kernels.labelgen import make_shrink_map
+
+        poly = np.array([[10, 20], [40, 20], [40, 32], [10, 32]], float)
+        out = make_shrink_map((64, 64), [poly], [False], gen_geometry=True)
+        # d = area(1-r^2)/per = 360*0.84/84 ≈ 3.6 → shrunk ≈ 22.8×4.8;
+        # rasterized pixel count lands between 4x22 and 6x24
+        assert 88 <= out["gt"].sum() <= 144
+        assert out["mask"].sum() == 64 * 64  # nothing ignored
+        assert not out["ignore_tags"][0]
+        # geo channel 8 = 1/min(h,w) = 1/12 over the shrunk region
+        ch8 = out["geo_map"][8]
+        assert abs(ch8.max() - 1 / 12) < 1e-6
+        # corner-offset channels: at a pixel inside, offset = pixel - corner
+        ys, xs = np.nonzero(out["gt"])
+        y0, x0 = ys[0], xs[0]
+        assert out["geo_map"][0, y0, x0] == x0 - 10  # corner 0 x
+        assert out["geo_map"][1, y0, x0] == y0 - 20  # corner 0 y
+
+    def test_shrink_map_small_text_ignored(self):
+        from gluon_ocr_spark.kernels.labelgen import make_shrink_map
+
+        tiny = np.array([[5, 5], [11, 5], [11, 9], [5, 9]], float)  # min edge 4 < 8
+        out = make_shrink_map((64, 64), [tiny], [False])
+        assert out["ignore_tags"][0]
+        assert out["gt"].sum() == 0
+        assert (out["mask"] == 0).sum() > 0  # zeroed under the ignored poly
+
+    def test_validate_polygons_outside_and_degenerate(self):
+        from gluon_ocr_spark.kernels.labelgen import validate_polygons
+
+        outside = np.array([[100, 100], [120, 100], [120, 110], [100, 110]], float)
+        degenerate = np.array([[5, 5], [5.4, 5], [5.4, 5.4], [5, 5.4]], float)  # area < 1
+        _, tags = validate_polygons([outside, degenerate], [False, False], 64, 64)
+        assert tags == [True, True]
+
+    def test_border_map_range_and_mask(self):
+        from gluon_ocr_spark.kernels.labelgen import make_border_map
+
+        poly = np.array([[10, 20], [40, 20], [40, 32], [10, 32]], float)
+        out = make_border_map((64, 64), [poly], [False])
+        assert out["thresh_map"].min() == np.float32(0.3)
+        assert abs(float(out["thresh_map"].max()) - 0.7) < 0.02  # peaks at the edge
+        # mask covers the padded polygon only
+        assert 0 < out["thresh_mask"].sum() < 64 * 64
+        # border values DECAY moving inward from the polygon edge
+        assert out["thresh_map"][26, 10] > out["thresh_map"][26, 25]
+
+    def test_border_map_ignored_poly_skipped(self):
+        from gluon_ocr_spark.kernels.labelgen import make_border_map
+
+        poly = np.array([[10, 20], [40, 20], [40, 32], [10, 32]], float)
+        out = make_border_map((64, 64), [poly], [True])
+        assert out["thresh_mask"].sum() == 0
+        assert (out["thresh_map"] == np.float32(0.3)).all()
+
+    def test_soft_nms_gaussian_decay(self):
+        from gluon_ocr_spark.kernels.geometry import soft_nms
+
+        b = np.array(
+            [
+                [0, 0, 10, 0, 10, 10, 0, 10, 0.9],
+                [1, 1, 11, 1, 11, 11, 1, 11, 0.85],
+                [50, 50, 60, 50, 60, 60, 50, 60, 0.95],
+            ],
+            float,
+        )
+        # iou(b0,b1) ≈ 0.68 → gaussian weight exp(-0.68²/.5) ≈ 0.396 →
+        # 0.85·0.396 ≈ 0.337 < 0.5 → dropped; far box untouched
+        out = soft_nms(b, threshold=0.5)
+        assert sorted(np.round(out[:, 8], 2)) == [0.9, 0.95]
+        # linear method with low threshold keeps the decayed box
+        out2 = soft_nms(b, threshold=0.1, method=1)
+        assert len(out2) == 3
+        decayed = sorted(out2[:, 8])[0]
+        assert abs(decayed - 0.85 * (1 - 0.680672)) < 1e-3
+
+    def test_offset_convex_collapse_and_windings(self):
+        from gluon_ocr_spark.kernels.raster import offset_convex
+
+        sq = np.array([[0, 0], [10, 0], [10, 10], [0, 10]], float)
+        assert offset_convex(sq, -6) is None  # past the inradius
+        assert offset_convex(sq[::-1], -6) is None  # CW winding too
+        got = offset_convex(sq[::-1], -2)
+        assert sorted(map(tuple, got.tolist())) == [(2, 2), (2, 8), (8, 2), (8, 8)]
