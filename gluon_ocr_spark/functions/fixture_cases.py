@@ -402,3 +402,27 @@ def rows_for(family: str) -> list[dict]:
         r = fn(i)
         rows.extend(r if isinstance(r, list) else [r])
     return rows
+
+
+# -- N5+N6: attention encoder → greedy decoder pipeline ------------------------
+
+
+def compute_att_pipeline(i: int, weights_net=None) -> dict:
+    from ..kernels.attention import GreedyAttentionDecoder
+    from ..kernels.nets import AttEncoderNumpy
+
+    enc = weights_net or AttEncoderNumpy(seed=17)
+    rng = _rng("attpipe", i)
+    img = rng.normal(size=(1, 3, 32, 40))
+    out, proj, mask = enc.forward(img)
+    dec = GreedyAttentionDecoder(voc_size=len(_VOCAB) + 2, seed=7)
+    ids = dec.decode(proj[0].astype(np.float32), max_len=24)
+    return {
+        "img_id": int(i),
+        "ids": "-".join(str(v) for v in ids),
+        "enc_sum": _r(float(out.sum()), 6),
+        "proj_sum": _r(float(proj.sum()), 6),
+    }
+
+
+FAMILIES["kernel_att_pipeline"] = (compute_att_pipeline, N_IMAGES)

@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["DBNetNumpy", "CRNNNumpy", "EASTNumpy"]
+__all__ = ["DBNetNumpy", "CRNNNumpy", "EASTNumpy", "AttEncoderNumpy"]
 
 
 # ---------------------------------------------------------------------------
@@ -344,3 +344,60 @@ class EASTNumpy:
         g = relu(batchnorm(conv2d(h, w["geo_c0"], pad=1), w["geo_g0"], w["geo_b0"]))
         geometry = (sigmoid(conv2d(g, w["geo_c1"])) - 0.5) * 2.0 * 800.0
         return score, geometry
+
+
+# ---------------------------------------------------------------------------
+# Attention encoder (N5)
+# ---------------------------------------------------------------------------
+
+
+class AttEncoderNumpy:
+    """Seeded attention-ENCODER forward with the reference topology
+    (``gluonocr/model_zoo/att_recog/att_encoder.py:8-46``): conv
+    backbone → per-pixel mask multiply → NTC transpose/reshape →
+    BiLSTM → ``pre_compute`` dense(tanh) projection to match_dim.
+    Returns (output, out_proj, seq_mask); ``out_proj`` rows are the
+    pre-projected keys the greedy attention decoder consumes
+    (:class:`..attention.GreedyAttentionDecoder` expects match_dim
+    keys — wire ``match_dim=32`` to its default)."""
+
+    def __init__(self, seed: int = 17, in_channels: int = 3, hidden: int = 24, match_dim: int = 32):
+        rng = np.random.default_rng(seed)
+        w: dict[str, np.ndarray] = {}
+        chans = (8, 16, 24, 24)
+        strides = ((2, 2), (2, 2), (2, 1), (2, 1))  # H 32→2, W→W/4 (att_encoder.py:57)
+        prev = in_channels
+        for i, (ch, st) in enumerate(zip(chans, strides)):
+            w[f"conv{i}"] = _xavier(rng, (ch, prev, 3, 3))
+            w[f"stride{i}"] = np.array(st)
+            prev = ch
+        feat = chans[-1] * 2  # H collapses to 2 → features H*C
+        for d, pre in (("fw", "l0"), ("bw", "l0"), ("fw", "l1"), ("bw", "l1")):
+            inp = feat if pre == "l0" else 2 * hidden
+            w[f"{pre}_{d}_wx"] = _xavier(rng, (inp, 4 * hidden))
+            w[f"{pre}_{d}_wh"] = _xavier(rng, (hidden, 4 * hidden))
+            w[f"{pre}_{d}_b"] = np.zeros(4 * hidden)
+        w["proj_w"] = _xavier(rng, (2 * hidden, match_dim))
+        w["proj_b"] = np.zeros(match_dim)
+        self.weights = w
+        self.hidden = hidden
+
+    def forward(self, x: np.ndarray, mask: np.ndarray | None = None):
+        w = self.weights
+        y = np.asarray(x, dtype=np.float64)
+        for i in range(4):
+            sh, sw = (int(s) for s in w[f"stride{i}"])
+            y = relu(conv2d(y, w[f"conv{i}"], pad=1))
+            y = y[:, :, ::sh, ::sw]
+        if mask is None:
+            mask = np.ones((y.shape[0], 1, y.shape[2], y.shape[3]))
+        y = y * mask  # broadcast_mul (att_encoder.py:36)
+        n, c, h, wd = y.shape
+        seq = y.transpose(0, 3, 2, 1).reshape(n, wd, h * c)  # NTC, W is time
+        seq_mask = mask.transpose(0, 1, 3, 2).reshape(n, -1)
+        for layer in ("l0", "l1"):
+            fw = lstm_forward(seq, w[f"{layer}_fw_wx"], w[f"{layer}_fw_wh"], w[f"{layer}_fw_b"])
+            bw = lstm_forward(seq, w[f"{layer}_bw_wx"], w[f"{layer}_bw_wh"], w[f"{layer}_bw_b"], reverse=True)
+            seq = np.concatenate([fw, bw], axis=-1)
+        out_proj = np.tanh(seq @ w["proj_w"] + w["proj_b"])
+        return seq, out_proj, seq_mask

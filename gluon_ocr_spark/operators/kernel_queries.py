@@ -63,6 +63,7 @@ SCHEMAS = {
         "case_id bigint, gt_pixels bigint, masked_out_pixels bigint, n_ignored bigint, "
         "geo_norm_sum double, border_mean double, border_mask_pixels bigint"
     ),
+    "kernel_att_pipeline": "img_id bigint, ids string, enc_sum double, proj_sum double",
 }
 
 _BROADCAST_NETS = {
@@ -75,6 +76,9 @@ _BROADCAST_NETS = {
     "kernel_east_boxes": lambda: __import__(
         "gluon_ocr_spark.kernels.nets", fromlist=["EASTNumpy"]
     ).EASTNumpy(seed=13),
+    "kernel_att_pipeline": lambda: __import__(
+        "gluon_ocr_spark.kernels.nets", fromlist=["AttEncoderNumpy"]
+    ).AttEncoderNumpy(seed=17),
 }
 
 

@@ -321,3 +321,41 @@ class TestLabelGen:
         assert offset_convex(sq[::-1], -6) is None  # CW winding too
         got = offset_convex(sq[::-1], -2)
         assert sorted(map(tuple, got.tolist())) == [(2, 2), (2, 8), (8, 2), (8, 8)]
+
+
+class TestAttEncoder:
+    """N5 attention encoder (att_encoder.py:8-46)."""
+
+    def test_encoder_shapes_and_determinism(self):
+        from gluon_ocr_spark.kernels.nets import AttEncoderNumpy
+
+        x = np.random.default_rng(5).normal(size=(1, 3, 32, 40))
+        out, proj, mask = AttEncoderNumpy(seed=17).forward(x)
+        assert out.shape == (1, 10, 48)  # W/4 timesteps, 2*hidden feats
+        assert proj.shape == (1, 10, 32)  # match_dim keys
+        assert (np.abs(proj) <= 1).all()  # tanh projection
+        out2, proj2, _ = AttEncoderNumpy(seed=17).forward(x)
+        assert np.array_equal(out, out2) and np.array_equal(proj, proj2)
+
+    def test_encoder_feeds_decoder(self):
+        from gluon_ocr_spark.kernels.attention import GreedyAttentionDecoder
+        from gluon_ocr_spark.kernels.nets import AttEncoderNumpy
+
+        x = np.random.default_rng(6).normal(size=(1, 3, 32, 40))
+        _, proj, _ = AttEncoderNumpy(seed=17).forward(x)
+        dec = GreedyAttentionDecoder(voc_size=38, seed=7)
+        ids = dec.decode(proj[0].astype(np.float32), max_len=20)
+        assert ids == dec.decode(proj[0].astype(np.float32), max_len=20)
+        assert all(0 <= v < 38 for v in ids)
+
+    def test_mask_zeroes_features(self):
+        from gluon_ocr_spark.kernels.nets import AttEncoderNumpy
+
+        x = np.random.default_rng(7).normal(size=(1, 3, 32, 40))
+        enc = AttEncoderNumpy(seed=17)
+        full, _, _ = enc.forward(x)
+        mask = np.ones((1, 1, 2, 10))
+        mask[:, :, :, 5:] = 0  # mask away the right half of the width
+        masked, _, seq_mask = enc.forward(x, mask)
+        assert not np.array_equal(full, masked)
+        assert seq_mask.sum() == 10  # 2 rows × 5 visible cols
