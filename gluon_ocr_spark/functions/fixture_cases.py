@@ -426,3 +426,47 @@ def compute_att_pipeline(i: int, weights_net=None) -> dict:
 
 
 FAMILIES["kernel_att_pipeline"] = (compute_att_pipeline, N_IMAGES)
+
+
+# -- D17: CLRS corner→box -------------------------------------------------------
+
+
+def compute_clrs(i: int) -> list[dict]:
+    from ..kernels.clrs import clrs_boxes
+
+    rng = _rng("clrs", i)
+    n_text = int(rng.integers(1, 3))
+    ids_rows, box_rows = [], []
+    seg = np.zeros((4, 64, 64))
+    for _ in range(n_text):
+        x0 = float(rng.integers(4, 20))
+        y0 = float(rng.integers(4, 28))
+        tw = float(rng.integers(24, 40))
+        th = float(rng.integers(12, 24))
+        x1, y1 = x0 + tw, y0 + th
+        corners = [(x0, y0), (x1, y0), (x1, y1), (x0, y1)]
+        for k, (cx, cy) in enumerate(corners):
+            jx, jy = rng.uniform(-1, 1, size=2)
+            ids_rows.append([k])
+            box_rows.append([cx - th / 2 + jx, cy - th / 2 + jy, cx + th / 2 + jx, cy + th / 2 + jy])
+        mx, my = (x0 + x1) / 2, (y0 + y1) / 2
+        seg[0, int(y0) : int(my), int(x0) : int(mx)] = 1
+        seg[1, int(y0) : int(my), int(mx) : int(x1)] = 1
+        seg[2, int(my) : int(y1), int(mx) : int(x1)] = 1
+        seg[3, int(my) : int(y1), int(x0) : int(mx)] = 1
+    out = clrs_boxes(np.array(ids_rows), np.array(box_rows), seg)
+    rows = []
+    for j, quad in enumerate(out):
+        rows.append(
+            {
+                "case_id": int(i),
+                "box_id": j,
+                **{f"c{k}": _r(float(v)) for k, v in enumerate(quad.reshape(8))},
+            }
+        )
+    if not rows:
+        rows.append({"case_id": int(i), "box_id": -1, **{f"c{k}": 0.0 for k in range(8)}})
+    return rows
+
+
+FAMILIES["kernel_clrs_boxes"] = (compute_clrs, N_CASES)

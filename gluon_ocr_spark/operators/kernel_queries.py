@@ -64,6 +64,10 @@ SCHEMAS = {
         "geo_norm_sum double, border_mean double, border_mask_pixels bigint"
     ),
     "kernel_att_pipeline": "img_id bigint, ids string, enc_sum double, proj_sum double",
+    "kernel_clrs_boxes": (
+        "case_id bigint, box_id bigint, c0 double, c1 double, c2 double, c3 double, "
+        "c4 double, c5 double, c6 double, c7 double"
+    ),
 }
 
 _BROADCAST_NETS = {

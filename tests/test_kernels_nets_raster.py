@@ -359,3 +359,59 @@ class TestAttEncoder:
         masked, _, seq_mask = enc.forward(x, mask)
         assert not np.array_equal(full, masked)
         assert seq_mask.sum() == 10  # 2 rows × 5 visible cols
+
+
+class TestCLRS:
+    """D17 CLRS corner→box post-process (clrs_postprocess.py:12-158)."""
+
+    @staticmethod
+    def _setup(h=20):
+        def corner_box(cx, cy, s):
+            return [cx - s / 2, cy - s / 2, cx + s / 2, cy + s / 2]
+
+        boxes = np.array(
+            [
+                corner_box(10, 10, h),
+                corner_box(50, 10, h),
+                corner_box(50, 30, h),
+                corner_box(10, 30, h),
+            ],
+            float,
+        )
+        ids = np.array([[0], [1], [2], [3]])
+        seg = np.zeros((4, 64, 64))
+        seg[0, 10:20, 10:30] = 1
+        seg[1, 10:20, 30:50] = 1
+        seg[2, 20:30, 30:50] = 1
+        seg[3, 20:30, 10:30] = 1
+        return ids, boxes, seg
+
+    def test_recovers_exact_box(self):
+        from gluon_ocr_spark.kernels.clrs import clrs_boxes
+
+        ids, boxes, seg = self._setup()
+        out = clrs_boxes(ids, boxes, seg)
+        assert out.shape == (1, 4, 2)
+        assert out.reshape(8).tolist() == [10, 10, 50, 10, 50, 30, 10, 30]
+
+    def test_position_sensitive_veto(self):
+        # swapping two seg channels breaks the quadrant layout → no box
+        from gluon_ocr_spark.kernels.clrs import clrs_boxes
+
+        ids, boxes, seg = self._setup()
+        seg = seg[[2, 1, 0, 3]]  # TL channel now carries BR evidence
+        assert clrs_boxes(ids, boxes, seg).shape[0] == 0
+
+    def test_missing_corner_class_returns_empty(self):
+        from gluon_ocr_spark.kernels.clrs import clrs_boxes
+
+        ids, boxes, seg = self._setup()
+        assert clrs_boxes(ids[:3], boxes[:3], seg).shape[0] == 0
+
+    def test_size_ratio_gate(self):
+        # mismatched corner sizes (ratio ≥ 1.5) generate no top edge
+        from gluon_ocr_spark.kernels.clrs import corner2center, gen_box
+
+        a = corner2center(np.array([[0, 0, 20, 20]], float))
+        b = corner2center(np.array([[40, 0, 80, 40]], float))  # 2× size
+        assert gen_box(a, b, 0) == []
