@@ -470,3 +470,38 @@ def compute_clrs(i: int) -> list[dict]:
 
 
 FAMILIES["kernel_clrs_boxes"] = (compute_clrs, N_CASES)
+
+
+# -- G5: bucketed batch plan ----------------------------------------------------
+
+
+def compute_bucket_batches(i: int) -> list[dict]:
+    from ..operators.bucketing import bucket_batches, bucket_key
+
+    rng = _rng("bucket", i)
+    n_items = int(rng.integers(8, 40))
+    items = []
+    for item_id in range(n_items):
+        h = int(rng.integers(8, 64))
+        w = int(rng.integers(8, 2048))
+        L = int(rng.integers(0, 60))
+        items.append((item_id, bucket_key(h, w, L)))
+    batches = bucket_batches(items, batch_size=4, seed=int(i), last_batch="keep")
+    rows = []
+    for b_id, batch in enumerate(batches):
+        for pos, item_id in enumerate(batch):
+            key = dict(items)[item_id]
+            rows.append(
+                {
+                    "case_id": int(i),
+                    "batch_id": b_id,
+                    "pos": pos,
+                    "item_id": item_id,
+                    "bucket_w": key[1],
+                    "bucket_len": key[2],
+                }
+            )
+    return rows
+
+
+FAMILIES["kernel_bucket_batches"] = (compute_bucket_batches, N_CASES)

@@ -68,6 +68,10 @@ SCHEMAS = {
         "case_id bigint, box_id bigint, c0 double, c1 double, c2 double, c3 double, "
         "c4 double, c5 double, c6 double, c7 double"
     ),
+    "kernel_bucket_batches": (
+        "case_id bigint, batch_id bigint, pos bigint, item_id bigint, "
+        "bucket_w bigint, bucket_len bigint"
+    ),
 }
 
 _BROADCAST_NETS = {

@@ -293,6 +293,33 @@ def sql_dedup_simhash(d: str) -> str:
     """
 
 
+def sql_recog_bucket_keys(d: str) -> str:
+    """G5 bucket assignment as ONE JVM-side projection over a crop
+    table (recog_dataset.py:164-174 semantics, integer-exact): at
+    10^12 crops this key is what you repartition/bucketBy on so each
+    training batch reads a single bucket. Crop dims derive
+    deterministically from document stats (the documents table stands
+    in for the crop manifest)."""
+    from .operators.bucketing import bucket_key_sql
+
+    toks = pt.tokens("text", d)
+    n = pt.arr_size(toks, d)
+    bw, tl = bucket_key_sql("h", "w", "text_len", "spark" if d == SPARK else "duck")
+    return f"""
+    WITH crops AS (
+        SELECT doc_id,
+               CAST(8 + doc_id % 56 AS BIGINT) AS h,
+               CAST(8 + length(text) % 1024 AS BIGINT) AS w,
+               CAST({n} AS BIGINT) AS text_len
+        FROM documents
+    )
+    SELECT doc_id, h, w, text_len,
+           CAST({bw} AS BIGINT) AS bucket_w,
+           CAST({tl} AS BIGINT) AS bucket_len
+    FROM crops
+    """
+
+
 def sql_dedup_simhash_hamming(d: str) -> str:
     """SimHash near-dup pairs within Hamming distance ≤ 2 — the
     rotate-band extension of Hamming-0 blocking, still equi-join
@@ -842,6 +869,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_shingle_minhash": sql_dedup_shingle_minhash,
     "dedup_simhash": sql_dedup_simhash,
     "dedup_simhash_hamming": sql_dedup_simhash_hamming,
+    "recog_bucket_keys": sql_recog_bucket_keys,
     "dedup_embedding_cosine": sql_dedup_embedding_cosine,
     "ann_topk": sql_ann_topk,
     "ann_lsh_buckets": sql_ann_lsh_buckets,
