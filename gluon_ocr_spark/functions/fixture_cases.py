@@ -505,3 +505,34 @@ def compute_bucket_batches(i: int) -> list[dict]:
 
 
 FAMILIES["kernel_bucket_batches"] = (compute_bucket_batches, N_CASES)
+
+
+# -- G3: text-avoiding random crop ----------------------------------------------
+
+
+def compute_random_crop(i: int) -> dict:
+    from ..kernels.cropping import random_crop
+
+    rng = _rng("crop", i)
+    img = rng.normal(0.5, 0.1, size=(100, 100))
+    polys, tags = [], []
+    for _ in range(int(rng.integers(1, 4))):
+        x0, y0 = rng.integers(5, 60, size=2)
+        pw, ph = rng.integers(10, 30, size=2)
+        polys.append(np.array([[x0, y0], [x0 + pw, y0], [x0 + pw, y0 + ph], [x0, y0 + ph]], float))
+        tags.append(bool(rng.random() < 0.2))
+    out = random_crop(img, polys, tags, np.random.default_rng(int(i)), size=(64, 64))
+    cx, cy, cw, ch = out["crop"]
+    return {
+        "case_id": int(i),
+        "crop_x": int(cx),
+        "crop_y": int(cy),
+        "crop_w": int(cw),
+        "crop_h": int(ch),
+        "scale": _r(out["scale"], 6),
+        "n_polys_kept": len(out["polygons"]),
+        "img_sum": _r(float(out["image"].sum()), 4),
+    }
+
+
+FAMILIES["kernel_random_crop"] = (compute_random_crop, N_CASES)

@@ -27,7 +27,7 @@ import numpy as np
 from .geometry import standard_nms
 from .raster import fill_poly_mask
 
-__all__ = ["corner2center", "gen_box", "clrs_scores", "clrs_boxes"]
+__all__ = ["corner2center", "gen_box", "clrs_scores", "clrs_boxes", "get_tight_rect", "clrs_targets"]
 
 
 def corner2center(boxes: np.ndarray) -> np.ndarray:
@@ -170,3 +170,73 @@ def clrs_boxes(
     out[:, :, 0] = np.clip(np.round(out[:, :, 0] * ratio), 0, width * ratio)
     out[:, :, 1] = np.clip(np.round(out[:, :, 1] * ratio), 0, height * ratio)
     return out
+
+
+def get_tight_rect(points: np.ndarray) -> list[float]:
+    """Min-area rect of a polygon, corners in TL,TR,BR,BL order —
+    reference get_tight_rect (detect_dataset.py:280-308), built on the
+    cv2-free min_area_rect + the x-sort/y-pair ordering rule."""
+    from .geometry import order_points
+    from .raster import min_area_rect
+
+    corners, _ = min_area_rect(np.asarray(points, dtype=np.float64))
+    return order_points(corners).reshape(8).tolist()
+
+
+def clrs_targets(
+    polygons: list[np.ndarray],
+    ignore_tags: list[bool],
+    img_size: tuple[int, int] = (512, 512),
+    min_text_size: int = 8,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """G6 geometric target generation (detect_dataset.py:310-358,
+    gen_gt): per text polygon, the tight rect's four corners become
+    four h-sized corner DETECTION boxes (class 0-3, h = mean of the
+    opposite-edge pairs), and the four position-sensitive quadrant
+    masks (midpoints + centroid) rasterize into the 4-channel seg gt;
+    small/ignored texts zero the care mask. Returns (boxes (k,5:
+    x1,y1,x2,y2,cls), seg_gt (4,H,W), mask (H,W)).
+
+    The learning-side SSD anchor matching (CLRSTrainTransform,
+    gluoncv-bound) stays out of slice; these geometric targets are the
+    data-processing half — and the exact inverse of clrs_boxes (D17),
+    which the round-trip test exploits."""
+    import math
+
+    from .raster import fill_poly_mask
+
+    h_img, w_img = img_size
+    boxes: list[np.ndarray] = []
+    seg_gt = np.zeros((4, h_img, w_img), dtype=np.uint8)
+    mask = np.ones((h_img, w_img), dtype=np.uint8)
+    for polygon, ignored in zip(polygons, ignore_tags):
+        p = np.asarray(polygon, dtype=np.float64).copy()
+        p[:, 0] = np.clip(p[:, 0], 0, w_img)
+        p[:, 1] = np.clip(p[:, 1], 0, h_img)
+        x1, y1, x2, y2, x3, y3, x4, y4 = get_tight_rect(p)
+        side1 = math.dist((x1, y1), (x2, y2))
+        side2 = math.dist((x2, y2), (x3, y3))
+        side3 = math.dist((x3, y3), (x4, y4))
+        side4 = math.dist((x4, y4), (x1, y1))
+        h = min(side1 + side3, side2 + side4) / 2.0
+        if h < min_text_size or ignored:
+            mask[fill_poly_mask((h_img, w_img), p)] = 0
+            continue
+        for k, (cx, cy) in enumerate(((x1, y1), (x2, y2), (x3, y3), (x4, y4))):
+            boxes.append(np.array([cx - h / 2, cy - h / 2, cx + h / 2, cy + h / 2, k]))
+        c1 = ((x1 + x2) / 2, (y1 + y2) / 2)
+        c2 = ((x2 + x3) / 2, (y2 + y3) / 2)
+        c3 = ((x3 + x4) / 2, (y3 + y4) / 2)
+        c4 = ((x4 + x1) / 2, (y4 + y1) / 2)
+        ctr = ((x1 + x2 + x3 + x4) / 4, (y1 + y2 + y3 + y4) / 4)
+        quadrants = (
+            ((x1, y1), c1, ctr, c4),
+            (c1, (x2, y2), c2, ctr),
+            (ctr, c2, (x3, y3), c3),
+            (c4, ctr, c3, (x4, y4)),
+        )
+        for j, quad in enumerate(quadrants):
+            seg_gt[j][fill_poly_mask((h_img, w_img), np.floor(np.array(quad)))] = 1
+    if not boxes:
+        return np.array([[-1, -1, -1, -1, -1]], dtype=np.float64), seg_gt, mask
+    return np.array(boxes, dtype=np.float64), seg_gt, mask

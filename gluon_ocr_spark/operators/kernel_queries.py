@@ -72,6 +72,10 @@ SCHEMAS = {
         "case_id bigint, batch_id bigint, pos bigint, item_id bigint, "
         "bucket_w bigint, bucket_len bigint"
     ),
+    "kernel_random_crop": (
+        "case_id bigint, crop_x bigint, crop_y bigint, crop_w bigint, crop_h bigint, "
+        "scale double, n_polys_kept bigint, img_sum double"
+    ),
 }
 
 _BROADCAST_NETS = {

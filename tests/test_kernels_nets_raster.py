@@ -415,3 +415,37 @@ class TestCLRS:
         a = corner2center(np.array([[0, 0, 20, 20]], float))
         b = corner2center(np.array([[40, 0, 80, 40]], float))  # 2× size
         assert gen_box(a, b, 0) == []
+
+
+class TestCLRSTargets:
+    """G6 geometric target gen (detect_dataset.py:280-358) and its
+    duality with the D17 post-process."""
+
+    def test_targets_shape_and_corner_boxes(self):
+        from gluon_ocr_spark.kernels.clrs import clrs_targets
+
+        poly = np.array([[10, 10], [50, 10], [50, 30], [10, 30]], float)
+        boxes, seg_gt, mask = clrs_targets([poly], [False], img_size=(64, 64))
+        assert boxes.shape == (4, 5)
+        # h = min(40+40, 20+20)/2 = 20 → corner boxes are 20-sized squares
+        assert (boxes[:, 2] - boxes[:, 0] == 20).all()
+        assert boxes[:, 4].tolist() == [0, 1, 2, 3]
+        assert seg_gt.shape == (4, 64, 64) and seg_gt.sum() > 0
+        assert mask.min() == 1  # nothing ignored
+
+    def test_small_text_zeroes_mask(self):
+        from gluon_ocr_spark.kernels.clrs import clrs_targets
+
+        tiny = np.array([[5, 5], [11, 5], [11, 9], [5, 9]], float)
+        boxes, seg_gt, mask = clrs_targets([tiny], [False], img_size=(64, 64))
+        assert boxes.tolist() == [[-1, -1, -1, -1, -1]]
+        assert (mask == 0).sum() > 0
+
+    def test_roundtrip_targets_to_boxes(self):
+        # G6 targets fed into the D17 detector recover the input rect
+        from gluon_ocr_spark.kernels.clrs import clrs_boxes, clrs_targets
+
+        poly = np.array([[10, 10], [50, 10], [50, 30], [10, 30]], float)
+        boxes, seg_gt, _ = clrs_targets([poly], [False], img_size=(64, 64))
+        out = clrs_boxes(boxes[:, 4:5].astype(int), boxes[:, :4], seg_gt.astype(np.float64))
+        assert out.reshape(-1, 8).tolist() == [[10, 10, 50, 10, 50, 30, 10, 30]]
