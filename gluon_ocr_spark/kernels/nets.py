@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["DBNetNumpy", "CRNNNumpy", "EASTNumpy", "AttEncoderNumpy"]
+__all__ = ["DBNetNumpy", "CRNNNumpy", "EASTNumpy", "AttEncoderNumpy", "STNNumpy"]
 
 
 # ---------------------------------------------------------------------------
@@ -401,3 +401,63 @@ class AttEncoderNumpy:
             seq = np.concatenate([fw, bw], axis=-1)
         out_proj = np.tanh(seq @ w["proj_w"] + w["proj_b"])
         return seq, out_proj, seq_mask
+
+
+# ---------------------------------------------------------------------------
+# STN (N7)
+# ---------------------------------------------------------------------------
+
+
+def grid_generator_warp(flow: np.ndarray) -> np.ndarray:
+    """MXNet ``GridGenerator(transform_type='warp')``: a (N,2,H,W)
+    per-pixel flow becomes a normalized sampling grid — target pixel
+    (i,j) samples source (j+flow_x, i+flow_y), mapped to [-1,1] via
+    x_norm = 2x/(W−1) − 1."""
+    n, _, h, w = flow.shape
+    xs = np.arange(w).reshape(1, 1, w)
+    ys = np.arange(h).reshape(1, h, 1)
+    gx = (xs + flow[:, 0]) * 2.0 / max(w - 1, 1) - 1.0
+    gy = (ys + flow[:, 1]) * 2.0 / max(h - 1, 1) - 1.0
+    return np.stack([gx, gy], axis=1)
+
+
+def bilinear_sampler(x: np.ndarray, grid: np.ndarray) -> np.ndarray:
+    """MXNet ``BilinearSampler``: sample (N,C,H,W) at the normalized
+    grid with zero padding outside the image."""
+    n, c, h, w = x.shape
+    sx = (grid[:, 0] + 1.0) * (w - 1) / 2.0  # (N,H',W')
+    sy = (grid[:, 1] + 1.0) * (h - 1) / 2.0
+    x0 = np.floor(sx).astype(int)
+    y0 = np.floor(sy).astype(int)
+    out = np.zeros((n, c) + sx.shape[1:], dtype=x.dtype)
+    for dy in (0, 1):
+        for dx in (0, 1):
+            xi = x0 + dx
+            yi = y0 + dy
+            wgt = (1 - np.abs(sx - xi)) * (1 - np.abs(sy - yi))
+            valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+            xi_c = np.clip(xi, 0, w - 1)
+            yi_c = np.clip(yi, 0, h - 1)
+            for b in range(n):
+                sample = x[b][:, yi_c[b], xi_c[b]]  # (C,H',W')
+                out[b] += sample * (wgt[b] * valid[b])
+    return out
+
+
+class STNNumpy:
+    """Seeded spatial-transformer forward (``gluonocr/nn/stn.py:4-18``):
+    localization net (conv3×3→relu→conv3×3→tanh) emits a per-pixel
+    2-channel warp field; warp-mode grid generation + bilinear
+    sampling resample the input. Reference keeps STN default-off
+    (use_stn=False); provided for the N7 coverage row."""
+
+    def __init__(self, seed: int = 19, in_channels: int = 3, hidden: int = 8):
+        rng = np.random.default_rng(seed)
+        self.w0 = _xavier(rng, (hidden, in_channels, 3, 3))
+        self.w1 = _xavier(rng, (2, hidden, 3, 3))
+
+    def forward(self, x: np.ndarray) -> np.ndarray:
+        x = np.asarray(x, dtype=np.float64)
+        flow = np.tanh(conv2d(relu(conv2d(x, self.w0, pad=1)), self.w1, pad=1))
+        grid = grid_generator_warp(flow)
+        return bilinear_sampler(x, grid)

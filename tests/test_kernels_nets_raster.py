@@ -449,3 +449,41 @@ class TestCLRSTargets:
         boxes, seg_gt, _ = clrs_targets([poly], [False], img_size=(64, 64))
         out = clrs_boxes(boxes[:, 4:5].astype(int), boxes[:, :4], seg_gt.astype(np.float64))
         assert out.reshape(-1, 8).tolist() == [[10, 10, 50, 10, 50, 30, 10, 30]]
+
+
+class TestSTN:
+    """N7 spatial transformer (nn/stn.py:4-18, warp-mode grid)."""
+
+    def test_zero_flow_is_identity(self):
+        from gluon_ocr_spark.kernels.nets import bilinear_sampler, grid_generator_warp
+
+        x = np.random.default_rng(8).normal(size=(1, 2, 6, 7))
+        grid = grid_generator_warp(np.zeros((1, 2, 6, 7)))
+        assert np.allclose(bilinear_sampler(x, grid), x)
+
+    def test_integer_flow_shifts(self):
+        from gluon_ocr_spark.kernels.nets import bilinear_sampler, grid_generator_warp
+
+        x = np.zeros((1, 1, 5, 5))
+        x[0, 0, 2, 2] = 1.0
+        flow = np.zeros((1, 2, 5, 5))
+        flow[:, 0] = 1.0  # sample one pixel to the right
+        out = bilinear_sampler(x, grid_generator_warp(flow))
+        assert out[0, 0, 2, 1] == 1.0 and out[0, 0, 2, 2] == 0.0
+
+    def test_out_of_range_zero_padded(self):
+        from gluon_ocr_spark.kernels.nets import bilinear_sampler, grid_generator_warp
+
+        x = np.ones((1, 1, 4, 4))
+        flow = np.zeros((1, 2, 4, 4))
+        flow[:, 0] = 10.0  # everything samples far outside
+        out = bilinear_sampler(x, grid_generator_warp(flow))
+        assert out.sum() == 0.0
+
+    def test_stn_forward_deterministic(self):
+        from gluon_ocr_spark.kernels.nets import STNNumpy
+
+        x = np.random.default_rng(9).normal(size=(1, 3, 16, 16))
+        a = STNNumpy(seed=19).forward(x)
+        b = STNNumpy(seed=19).forward(x)
+        assert a.shape == x.shape and np.array_equal(a, b)
