@@ -92,3 +92,91 @@ class GreedyAttentionDecoder:
 
 def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
+
+
+# ---------------------------------------------------------------------------
+# Attention-cell zoo (SURVEY §2.3 N8) — semantics of
+# gluonocr/nn/attention_cell.py:30-509
+# ---------------------------------------------------------------------------
+
+
+def masked_softmax(scores: np.ndarray, mask: np.ndarray | None = None) -> np.ndarray:
+    """Softmax over the last axis; masked positions (mask==0) receive
+    a large negative fill BEFORE the softmax and exactly zero weight
+    after (attention_cell.py:30-80 _apply_mask/_masked_softmax)."""
+    s = np.asarray(scores, dtype=np.float64)
+    if mask is not None:
+        s = np.where(np.asarray(mask) != 0, s, -1e18)
+    s = s - s.max(axis=-1, keepdims=True)
+    e = np.exp(s)
+    if mask is not None:
+        e = e * (np.asarray(mask) != 0)
+    return e / np.maximum(e.sum(axis=-1, keepdims=True), 1e-30)
+
+
+def dot_product_attention(
+    query: np.ndarray,
+    key: np.ndarray,
+    value: np.ndarray,
+    mask: np.ndarray | None = None,
+    scaled: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """(context, weights) for (Tq,D) query / (Tk,D) key / (Tk,Dv)
+    value — DotProductAttentionCell (attention_cell.py:397-509):
+    score = <q,k> / sqrt(D) when scaled."""
+    q = np.asarray(query, dtype=np.float64)
+    k = np.asarray(key, dtype=np.float64)
+    v = np.asarray(value, dtype=np.float64)
+    scores = q @ k.T
+    if scaled:
+        scores = scores / np.sqrt(q.shape[-1])
+    w = masked_softmax(scores, mask)
+    return w @ v, w
+
+
+def mlp_attention(
+    query: np.ndarray,
+    key: np.ndarray,
+    value: np.ndarray,
+    wq: np.ndarray,
+    wk: np.ndarray,
+    v_vec: np.ndarray,
+    mask: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """MLPAttentionCell (attention_cell.py:291-395): additive scores
+    ``v · tanh(Wq q + Wk k)`` (the split-projection form of
+    v·tanh(W[q,k]+b)); softmax; context. (Tq,Dq) query, (Tk,Dk) key."""
+    q = np.asarray(query, dtype=np.float64) @ wq  # (Tq,U)
+    k = np.asarray(key, dtype=np.float64) @ wk  # (Tk,U)
+    scores = np.tanh(q[:, None, :] + k[None, :, :]) @ v_vec  # (Tq,Tk)
+    w = masked_softmax(scores, mask)
+    return w @ np.asarray(value, dtype=np.float64), w
+
+
+def multi_head_attention(
+    query: np.ndarray,
+    key: np.ndarray,
+    value: np.ndarray,
+    wq: np.ndarray,
+    wk: np.ndarray,
+    wv: np.ndarray,
+    n_heads: int,
+    mask: np.ndarray | None = None,
+    scaled: bool = True,
+) -> np.ndarray:
+    """MultiHeadAttentionCell (attention_cell.py:180-289): project
+    q/k/v, split the unit axis into heads, run scaled dot-product
+    attention per head, concatenate contexts."""
+    q = np.asarray(query, dtype=np.float64) @ wq
+    k = np.asarray(key, dtype=np.float64) @ wk
+    v = np.asarray(value, dtype=np.float64) @ wv
+    u = q.shape[-1] // n_heads
+    uv = v.shape[-1] // n_heads
+    outs = []
+    for h in range(n_heads):
+        ctx, _ = dot_product_attention(
+            q[:, h * u : (h + 1) * u], k[:, h * u : (h + 1) * u], v[:, h * uv : (h + 1) * uv],
+            mask=mask, scaled=scaled,
+        )
+        outs.append(ctx)
+    return np.concatenate(outs, axis=-1)
