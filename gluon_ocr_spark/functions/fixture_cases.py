@@ -536,3 +536,49 @@ def compute_random_crop(i: int) -> dict:
 
 
 FAMILIES["kernel_random_crop"] = (compute_random_crop, N_CASES)
+
+
+# -- multimodal: real stdlib codec round-trip ------------------------------------
+
+
+def compute_media_decode(i: int) -> dict:
+    from ..kernels.codecs import (
+        decode_media,
+        encode_bmp,
+        encode_png,
+        encode_ppm,
+        encode_wav,
+    )
+
+    rng = _rng("media", i)
+    fmt = ("png-rgb", "png-gray", "png-rgba", "bmp", "ppm", "wav")[i % 6]
+    if fmt == "wav":
+        samples = (rng.normal(0, 9000, size=(int(rng.integers(50, 400)), 2))).astype(np.int16)
+        payload = encode_wav(samples, rate=16000)
+        meta = decode_media(payload)
+        checksum = int(np.int64(meta["samples"]).sum())
+        w, h, c = meta["sample_rate"], meta["channels"], meta["n_samples"]
+    else:
+        hgt = int(rng.integers(4, 40))
+        wid = int(rng.integers(4, 40))
+        ch = {"png-gray": 1, "png-rgba": 4}.get(fmt, 3)
+        img = rng.integers(0, 256, size=(hgt, wid, ch)).astype(np.uint8)
+        enc = {"bmp": encode_bmp, "ppm": encode_ppm}.get(fmt, encode_png)
+        payload = enc(img if ch > 1 or fmt != "png-gray" else img[:, :, 0])
+        meta = decode_media(payload)
+        assert np.array_equal(meta["pixels"].reshape(img.shape), img)  # lossless
+        checksum = int(np.int64(img).sum())
+        w, h, c = meta["width"], meta["height"], meta["channels"]
+    return {
+        "case_id": int(i),
+        "fmt": fmt,
+        "decoder": meta["decoder"],
+        "n_bytes": len(payload),
+        "dim_a": int(w),
+        "dim_b": int(h),
+        "dim_c": int(c),
+        "checksum": checksum,
+    }
+
+
+FAMILIES["kernel_media_decode"] = (compute_media_decode, N_CASES)

@@ -76,6 +76,10 @@ SCHEMAS = {
         "case_id bigint, crop_x bigint, crop_y bigint, crop_w bigint, crop_h bigint, "
         "scale double, n_polys_kept bigint, img_sum double"
     ),
+    "kernel_media_decode": (
+        "case_id bigint, fmt string, decoder string, n_bytes bigint, "
+        "dim_a bigint, dim_b bigint, dim_c bigint, checksum bigint"
+    ),
 }
 
 _BROADCAST_NETS = {

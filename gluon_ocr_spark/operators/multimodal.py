@@ -1,18 +1,22 @@
 """Multimodal (image/audio/video) column plumbing.
 
 Treats media as opaque ``binary`` columns with typed metadata, exactly
-as the engine treats page payloads. The Spark-side plumbing — schema,
-Arrow batching, partitioning, UDF signatures — is real and tested; the
-codec step is STUBBED because no image/audio libraries exist in this
-container: ``decode_media`` falls back to a clearly-marked
-deterministic fake (dimensions derived from the payload digest) and
-``decode_media_strict`` raises ``NotImplementedError`` so callers
-can't mistake the fake for a real decode.
+as the engine treats page payloads.
 
-On a real cluster, swapping ``_fake_decode`` for a cv2/PIL/librosa
-call is the only change; everything else (batch shape, schema,
-broadcast of codec params) is already the production path. This
-mirrors how the reference's ``cv2.imdecode`` would slot in
+Since round 2 the decode step is REAL for the formats the standard
+library can handle — PNG (zlib inflate + all five row filters), BMP,
+PPM, 16-bit WAV — via :mod:`..kernels.codecs`; the ``decoder`` output
+column names the codec (``stdlib-png`` …). Entropy-coded formats
+(JPEG/WebM) remain honestly stubbed: ``decode_media`` falls back to
+the clearly-marked deterministic fake (``decoder='fake-deterministic'``,
+dimensions derived from the content digest) and
+``decode_media_strict`` raises ``NotImplementedError`` for them so
+callers can't mistake the fake for a real decode.
+
+On a real cluster, swapping the JPEG branch for a cv2/PIL call is the
+only change; everything else (batch shape, schema, Arrow batching,
+metadata-only shuffle) is already the production path. This mirrors
+how the reference's ``cv2.imdecode`` slots in
 (``gluonocr/data/data_utils.py:123-131``).
 """
 
@@ -56,12 +60,18 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
     return width, height, n_frames
 
 
-def decode_media_strict(payload: bytes):
-    """Real decode hook — intentionally unimplemented in this container."""
-    raise NotImplementedError(
-        "media decoding requires cv2/PIL/librosa, not available in this "
-        "environment; production deployments plug the codec in here"
-    )
+def decode_media_strict(payload: bytes) -> dict:
+    """Real decode: stdlib codecs for PNG/BMP/PPM/WAV; raises for
+    formats needing external libs (JPEG/WebM) — never fakes."""
+    from ..kernels.codecs import decode_media as _decode
+
+    try:
+        return _decode(bytes(payload))
+    except ValueError as exc:
+        raise NotImplementedError(
+            f"no stdlib decoder for this payload ({exc}); entropy-coded "
+            "formats (JPEG/WebM) need cv2/PIL — plug the codec in here"
+        ) from exc
 
 
 def media_metadata(media: DataFrame, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
@@ -73,19 +83,29 @@ def media_metadata(media: DataFrame, id_col: str = "media_id", payload_col: str 
     thing that moves)."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.codecs import decode_media as _real_decode
+
         for pdf in batches:
             out = {k: [] for k in ("media_id", "kind", "n_bytes", "digest", "width", "height", "n_frames", "decoder")}
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                w, h, f = _fake_decode(b)
+                try:
+                    meta = _real_decode(b)
+                    kind, decoder = meta["kind"], meta["decoder"]
+                    w = meta.get("width", meta.get("sample_rate", 0))
+                    h = meta.get("height", meta.get("channels", 0))
+                    f = meta.get("n_frames", meta.get("n_samples", 1))
+                except ValueError:
+                    w, h, f = _fake_decode(b)
+                    kind, decoder = sniff_kind(b), "fake-deterministic"
                 out["media_id"].append(str(mid))
-                out["kind"].append(sniff_kind(b))
+                out["kind"].append(kind)
                 out["n_bytes"].append(len(b))
                 out["digest"].append(hashlib.sha256(b).hexdigest()[:16])
-                out["width"].append(w)
-                out["height"].append(h)
-                out["n_frames"].append(f)
-                out["decoder"].append("fake-deterministic")
+                out["width"].append(int(w))
+                out["height"].append(int(h))
+                out["n_frames"].append(int(f))
+                out["decoder"].append(decoder)
             yield pd.DataFrame(out)
 
     return media.select(id_col, payload_col).mapInPandas(gen, schema=MEDIA_META_SCHEMA)

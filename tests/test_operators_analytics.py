@@ -100,35 +100,59 @@ def test_lang_id_and_quality_columns(spark):
 def test_multimodal_metadata_plumbing(spark):
     from gluon_ocr_spark.operators.multimodal import frame_sample, media_metadata
 
+    import numpy as np
+
+    from gluon_ocr_spark.kernels.codecs import encode_png, encode_wav
+
+    png = encode_png(np.arange(30 * 20 * 3, dtype=np.uint8).reshape(30, 20, 3) % 256)
+    wav = encode_wav(np.arange(500, dtype=np.int16), rate=8000)
     payloads = [
-        ("m1", b"\x89PNG\r\n" + b"x" * 100),
-        ("m2", b"\xff\xd8\xff\xe0" + b"y" * 50),
-        ("m3", b"RIFF....WAVE"),
+        ("m1", png),  # real stdlib decode
+        ("m2", b"\xff\xd8\xff\xe0" + b"y" * 50),  # JPEG: honest stub
+        ("m3", wav),  # real stdlib decode
+        ("m3x", b"RIFF....WAVE"),  # corrupt RIFF → fallback, not a crash
         ("m4", b"plainbytes"),
         ("m5", None),
     ]
     df = spark.createDataFrame(payloads, "media_id string, payload binary")
     meta = {r["media_id"]: r for r in media_metadata(df).collect()}
     assert meta["m1"]["kind"] == "image/png"
+    assert (meta["m1"]["decoder"], meta["m1"]["width"], meta["m1"]["height"]) == ("stdlib-png", 20, 30)
     assert meta["m2"]["kind"] == "image/jpeg"
+    assert meta["m2"]["decoder"] == "fake-deterministic"
     assert meta["m3"]["kind"] == "audio/wav"
+    assert (meta["m3"]["decoder"], meta["m3"]["n_frames"]) == ("stdlib-wav", 500)
+    assert meta["m3x"]["decoder"] == "fake-deterministic"  # junk never crashes
     assert meta["m4"]["kind"] == "application/octet-stream"
-    assert meta["m1"]["n_bytes"] == 106
     assert meta["m5"]["n_bytes"] == 0
-    assert meta["m1"]["digest"] == hashlib.sha256(payloads[0][1]).hexdigest()[:16]
-    assert all(r["decoder"] == "fake-deterministic" for r in meta.values())
+    assert meta["m1"]["digest"] == hashlib.sha256(png).hexdigest()[:16]
 
-    frames = frame_sample(df.where(F.col("media_id") == "m1"), every_n=10).collect()
-    w = meta["m1"]
-    assert len(frames) == (w["n_frames"] + 9) // 10
-    assert [f["frame_idx"] for f in sorted(frames, key=lambda r: r["frame_idx"])][0] == 0
+    frames = frame_sample(df.where(F.col("media_id") == "m2"), every_n=10).collect()
+    w, _, f = __import__(
+        "gluon_ocr_spark.operators.multimodal", fromlist=["_fake_decode"]
+    )._fake_decode(payloads[1][1])
+    assert len(frames) == (f + 9) // 10
+    assert [r["frame_idx"] for r in sorted(frames, key=lambda r: r["frame_idx"])][0] == 0
 
 
-def test_decode_strict_raises():
+def test_decode_strict_real_and_raises():
+    import numpy as np
+
+    from gluon_ocr_spark.kernels.codecs import encode_bmp, encode_ppm
     from gluon_ocr_spark.operators.multimodal import decode_media_strict
 
+    img = (np.arange(8 * 6 * 3, dtype=np.uint8).reshape(8, 6, 3) * 3) % 256
+    got = decode_media_strict(encode_bmp(img))
+    assert got["decoder"] == "stdlib-bmp"
+    assert np.array_equal(got["pixels"], img)
+    got = decode_media_strict(encode_ppm(img))
+    assert got["decoder"] == "stdlib-ppm"
+    assert np.array_equal(got["pixels"], img)
+    # truncated magic and entropy-coded formats still raise
     with pytest.raises(NotImplementedError):
         decode_media_strict(b"\x89PNG")
+    with pytest.raises(NotImplementedError):
+        decode_media_strict(b"\xff\xd8\xff\xe0jpegdata")
 
 
 def test_lang_id_tie_break_agrees_across_apis(spark):
