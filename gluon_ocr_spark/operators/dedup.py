@@ -105,3 +105,58 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text
         .withColumn("jaccard", F.expr("cast(inter as double) / (size(ts_a) + size(ts_b) - inter)"))
     )
     return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
+
+
+def simhash_hamming_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+    materialize: bool = True,
+) -> DataFrame:
+    """Near-dup pairs within Hamming distance ≤ 2 of the 16-bit
+    simhash, via band-PAIR mask blocking (the rotate-band family).
+
+    4 bands of 4 bits; any ≤2 differing bits fall into ≤2 bands, so
+    blocking on the 6 two-band-masked values guarantees every
+    qualifying pair collides on at least one (mask_id, bucket) key —
+    a bucket equi-join with constant 6× key blow-up, never all-pairs,
+    verified by exact popcount.
+
+    ``materialize`` persists the (id, simhash) projection so the md5
+    token-hash pass runs ONCE instead of once per join side (the SQL
+    template in queries.py recomputes it; this is the scale form —
+    same rows). At lake scale write the keyed table bucketed by
+    (mask_id, bucket) instead and the join is shuffle-free."""
+    band = lambda i: 0xF << (4 * i)  # noqa: E731
+    masks = [
+        (idx, 0xFFFF & ~(band(i) | band(j)))
+        for idx, (i, j) in enumerate((i, j) for i in range(4) for j in range(i + 1, 4))
+    ]
+    codes = pt.token_codes(text_col, SPARK)
+    sh = df.select(F.col(id_col), F.expr(pt.simhash16_expr(codes, SPARK)).alias("sh"))
+    if materialize:
+        from pyspark import StorageLevel
+
+        sh = sh.persist(StorageLevel.MEMORY_AND_DISK)
+    mask_rows = ", ".join(f"({idx}, {m})" for idx, m in masks)
+    keyed = sh.selectExpr(
+        id_col, "sh", f"inline(arrays_zip(array({', '.join(str(i) for i, _ in masks)}), "
+        f"array({', '.join(str(m) for _, m in masks)})))"
+    ).selectExpr(id_col, "sh", "`0` AS mask_id", "sh & `1` AS bucket")
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.mask_id") == F.col("b.mask_id"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .where(F.expr("bit_count(a.sh ^ b.sh)") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("doc_a"),
+            F.col(f"b.{id_col}").alias("doc_b"),
+            F.expr("CAST(bit_count(a.sh ^ b.sh) AS INT)").alias("hamming"),
+        )
+        .distinct()
+    )

@@ -988,11 +988,23 @@ def dedup_minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, materialize=True)
 
 
+def dedup_simhash_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DataFrame-operator variant of sql_dedup_simhash_hamming:
+    persists the (id, simhash) projection so the md5 token-hash pass
+    runs once instead of once per self-join side. Same rows as the
+    SQL template/oracle."""
+    from .operators.dedup import simhash_hamming_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_hamming_pairs(docs, materialize=True)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _sql_query(tmpl) for name, tmpl in SQL_QUERIES.items()
     }
     out["dedup_minhash_pairs"] = dedup_minhash_pairs_query
+    out["dedup_simhash_hamming"] = dedup_simhash_hamming_query
     out["extract_roundtrip"] = extract_roundtrip_query
     out["extract_lines"] = extract_lines_query
     out["extract_stats"] = extract_stats_query
