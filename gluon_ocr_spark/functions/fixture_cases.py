@@ -582,3 +582,35 @@ def compute_media_decode(i: int) -> dict:
 
 
 FAMILIES["kernel_media_decode"] = (compute_media_decode, N_CASES)
+
+
+# -- multimodal feature extraction (decode → grayscale → resize → dHash) --------
+
+
+def compute_image_features(i: int) -> dict:
+    from ..kernels.codecs import decode_media, encode_bmp, encode_png
+    from ..kernels.nets import bilinear_resize
+
+    rng = _rng("imfeat", i)
+    img = rng.integers(0, 256, size=(int(rng.integers(12, 48)), int(rng.integers(12, 48)), 3)).astype(
+        np.uint8
+    )
+    payload = encode_png(img) if i % 2 == 0 else encode_bmp(img)
+    meta = decode_media(payload)
+    gray = meta["pixels"][:, :, :3].mean(axis=2)
+    grid = bilinear_resize(gray[None, None], 8, 9)[0, 0]
+    bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+    dhash = 0
+    for b in bits:
+        dhash = (dhash << 1) | int(b)
+    feat = bilinear_resize(gray[None, None], 8, 8)[0, 0]
+    return {
+        "case_id": int(i),
+        "decoder": meta["decoder"],
+        "dhash": dhash - (1 << 63) if dhash >= (1 << 63) else dhash,
+        "gray_mean": _r(float(gray.mean()), 6),
+        "feat_sum": _r(float(feat.sum()), 6),
+    }
+
+
+FAMILIES["kernel_image_features"] = (compute_image_features, N_CASES)

@@ -80,6 +80,9 @@ SCHEMAS = {
         "case_id bigint, fmt string, decoder string, n_bytes bigint, "
         "dim_a bigint, dim_b bigint, dim_c bigint, checksum bigint"
     ),
+    "kernel_image_features": (
+        "case_id bigint, decoder string, dhash bigint, gray_mean double, feat_sum double"
+    ),
 }
 
 _BROADCAST_NETS = {

@@ -128,3 +128,66 @@ def frame_sample(media: DataFrame, every_n: int = 30, id_col: str = "media_id", 
             yield pd.DataFrame({"media_id": ids, "frame_idx": frames, "frame_digest": digests})
 
     return media.select(id_col, payload_col).mapInPandas(gen, schema="media_id string, frame_idx int, frame_digest string")
+
+
+def image_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    size: int = 8,
+) -> DataFrame:
+    """Decode → grayscale → bilinear-resize → perceptual features, per
+    image (the feature-extract stage of a multimodal training
+    pipeline). Emits a ``size×size`` luminance grid as an
+    array<double> feature (pluggable into the ANN/LSH queries) plus a
+    64-bit dHash (gradient sign fingerprint — identical for the same
+    pixels regardless of container format, so PNG/BMP/PPM copies of
+    one image dedup together). Formats without a stdlib decoder yield
+    NULL feature rows rather than failing the batch."""
+    from ..kernels.codecs import decode_media as _decode
+    from ..kernels.nets import bilinear_resize
+
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, dhashes, means, feats, decoders = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                ids.append(str(mid))
+                try:
+                    meta = _decode(bytes(payload) if payload is not None else b"")
+                    pixels = meta.get("pixels")
+                    if pixels is None:
+                        raise ValueError("not an image")
+                except ValueError:
+                    dhashes.append(None)
+                    means.append(None)
+                    feats.append(None)
+                    decoders.append(None)
+                    continue
+                gray = pixels[:, :, :3].mean(axis=2) if pixels.shape[2] >= 3 else pixels[:, :, 0].astype(np.float64)
+                # dHash grid is (size, size+1) so each row yields `size` gradients
+                grid = bilinear_resize(gray[None, None], size, size + 1)[0, 0]
+                bits = (grid[:, 1:] > grid[:, :-1]).reshape(-1)
+                dhash = 0
+                for b in bits:
+                    dhash = (dhash << 1) | int(b)
+                feat = bilinear_resize(gray[None, None], size, size)[0, 0]
+                dhashes.append(dhash - (1 << 63) if dhash >= (1 << 63) else dhash)  # signed 64
+                means.append(float(gray.mean()))
+                feats.append([float(v) for v in feat.reshape(-1)])
+                decoders.append(meta["decoder"])
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "dhash": pd.array(dhashes, dtype="Int64"),
+                    "gray_mean": means,
+                    "feature": feats,
+                    "decoder": decoders,
+                }
+            )
+
+    return media.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema="media_id string, dhash bigint, gray_mean double, feature array<double>, decoder string",
+    )

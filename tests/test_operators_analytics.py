@@ -182,3 +182,33 @@ def test_lang_id_tie_break_agrees_across_apis(spark):
     assert api[1] == "es"  # es < fr
     assert api[2] == "de"  # de < en
     assert api[3] == "de"  # all-zero tie → first sorted lang
+
+
+def test_image_features_cross_format_dedup(spark):
+    """The dHash fingerprint depends on pixels, not the container:
+    PNG/BMP/PPM encodings of one image collide; a different image
+    doesn't. Undecodable payloads yield NULL rows, not failures."""
+    import numpy as np
+
+    from gluon_ocr_spark.kernels.codecs import encode_bmp, encode_png, encode_ppm
+    from gluon_ocr_spark.operators.multimodal import image_features
+
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    other = rng.integers(0, 256, size=(24, 32, 3)).astype(np.uint8)
+    df = spark.createDataFrame(
+        [
+            ("png", encode_png(img)),
+            ("bmp", encode_bmp(img)),
+            ("ppm", encode_ppm(img)),
+            ("other", encode_png(other)),
+            ("junk", b"\xff\xd8\xffnotdecodable"),
+        ],
+        "media_id string, payload binary",
+    )
+    rows = {r["media_id"]: r for r in image_features(df).collect()}
+    assert rows["png"]["dhash"] == rows["bmp"]["dhash"] == rows["ppm"]["dhash"]
+    assert rows["png"]["dhash"] != rows["other"]["dhash"]
+    assert rows["png"]["feature"] == rows["bmp"]["feature"]
+    assert len(rows["png"]["feature"]) == 64
+    assert rows["junk"]["dhash"] is None and rows["junk"]["feature"] is None
