@@ -50,6 +50,8 @@ BENCH_QUERIES = (
     "events_asof_signup",
     "dedup_minhash_pairs",
     "dedup_shingle_minhash",
+    "dedup_simhash_hamming",
+    "recog_bucket_keys",
     "text_fingerprint",
     "ann_topk",
     "ann_lsh_topk",
