@@ -49,3 +49,36 @@ def test_hourly_event_counts_stream(spark, tmp_path, sf_dir):
     got = spark.sql("select sum(n_events) s from hourly_counts").collect()[0]["s"]
     exp = spark.read.parquet(src).count()
     assert got == exp
+
+
+def test_media_metadata_streams(spark, tmp_path):
+    """The multimodal decode path runs unchanged under Structured
+    Streaming (mapInPandas is streaming-capable): a file stream of
+    binary payloads yields real stdlib decodes per micro-batch."""
+    import numpy as np
+
+    from gluon_ocr_spark.kernels.codecs import encode_png, encode_wav
+    from gluon_ocr_spark.operators.multimodal import media_metadata
+
+    src = str(tmp_path / "media")
+    rows = [
+        ("p1", encode_png(np.arange(300, dtype=np.uint8).reshape(10, 10, 3))),
+        ("w1", encode_wav(np.arange(64, dtype=np.int16))),
+        ("j1", b"\xff\xd8\xff\xe0junk"),
+    ]
+    spark.createDataFrame(rows, "media_id string, payload binary").write.parquet(src)
+
+    stream = spark.readStream.schema("media_id string, payload binary").parquet(src)
+    q = (
+        media_metadata(stream)
+        .writeStream.format("memory")
+        .queryName("media_meta_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r["media_id"]: r for r in spark.sql("select * from media_meta_stream").collect()}
+    assert got["p1"]["decoder"] == "stdlib-png" and got["p1"]["width"] == 10
+    assert got["w1"]["decoder"] == "stdlib-wav" and got["w1"]["n_frames"] == 64
+    assert got["j1"]["decoder"] == "fake-deterministic"
