@@ -614,3 +614,51 @@ def compute_image_features(i: int) -> dict:
 
 
 FAMILIES["kernel_image_features"] = (compute_image_features, N_CASES)
+
+
+# -- G7/G8/G9: loss kernels -------------------------------------------------------
+
+
+def compute_losses(i: int) -> dict:
+    from ..kernels.losses import (
+        balance_ce_loss,
+        box_iou_loss,
+        ctc_loss,
+        db_loss,
+        dice_loss,
+        east_loss,
+        mask_l1_loss,
+    )
+
+    rng = _rng("loss", i)
+    gt = (rng.random((1, 1, 8, 8)) > 0.7).astype(float)
+    mask = np.ones((1, 1, 8, 8))
+    binary = np.clip(rng.random((1, 1, 8, 8)), 0.01, 0.99)
+    thresh = rng.random((1, 1, 8, 8))
+    tb = np.clip(rng.random((1, 1, 8, 8)), 0.01, 0.99)
+    tmap = rng.random((1, 1, 8, 8))
+    tmask = (rng.random((1, 1, 8, 8)) > 0.5).astype(float)
+    geo_gt9 = rng.random((1, 9, 8, 8))
+    geo_pred = rng.random((1, 8, 8, 8))
+    boxes_p = np.sort(rng.random((1, 4, 4)) * 50, axis=-1)
+    boxes_t = np.sort(rng.random((1, 4, 4)) * 50, axis=-1)
+    bm = np.ones((1, 4))
+    t = int(rng.integers(4, 12))
+    probs = rng.random((t, 5)) + 0.05
+    lp = np.log(probs / probs.sum(axis=1, keepdims=True))
+    labels = rng.integers(0, 4, size=int(rng.integers(1, min(t, 4)))).tolist()
+    return {
+        "case_id": int(i),
+        "dice": _r(float(dice_loss(binary, gt, mask)[0])),
+        "mask_l1": _r(float(mask_l1_loss(thresh, tmap, tmask)[0])),
+        "balance_ce": _r(float(balance_ce_loss(binary, gt, mask)[0])),
+        "db": _r(float(db_loss(binary, thresh, tb, gt, mask, tmap, tmask)[0])),
+        "east": _r(float(east_loss(binary, gt, mask, geo_pred, geo_gt9)[0])),
+        "iou": _r(float(box_iou_loss(boxes_p, boxes_t, bm, "iou")[0])),
+        "giou": _r(float(box_iou_loss(boxes_p, boxes_t, bm, "giou")[0])),
+        "ciou": _r(float(box_iou_loss(boxes_p, boxes_t, bm, "ciou")[0])),
+        "ctc": _r(ctc_loss(lp, labels, blank=4)),
+    }
+
+
+FAMILIES["kernel_losses"] = (compute_losses, N_CASES)

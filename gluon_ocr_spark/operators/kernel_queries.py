@@ -83,6 +83,10 @@ SCHEMAS = {
     "kernel_image_features": (
         "case_id bigint, decoder string, dhash bigint, gray_mean double, feat_sum double"
     ),
+    "kernel_losses": (
+        "case_id bigint, dice double, mask_l1 double, balance_ce double, db double, "
+        "east double, iou double, giou double, ciou double, ctc double"
+    ),
 }
 
 _BROADCAST_NETS = {
