@@ -38,7 +38,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["DBNetNumpy", "CRNNNumpy", "EASTNumpy", "AttEncoderNumpy", "STNNumpy"]
+__all__ = ["DBNetNumpy", "CRNNNumpy", "EASTNumpy", "AttEncoderNumpy", "STNNumpy", "CLRSNumpy"]
 
 
 # ---------------------------------------------------------------------------
@@ -461,3 +461,162 @@ class STNNumpy:
         flow = np.tanh(conv2d(relu(conv2d(x, self.w0, pad=1)), self.w1, pad=1))
         grid = grid_generator_warp(flow)
         return bilinear_sampler(x, grid)
+
+
+# ---------------------------------------------------------------------------
+# CLRS (N4)
+# ---------------------------------------------------------------------------
+
+
+def deconv_s2_generic(x: np.ndarray, w: np.ndarray, k: int, stride: int) -> np.ndarray:
+    """Transposed conv, kernel k, arbitrary stride (scatter-add form).
+    ``w`` is (in_c, out_c, k, k)."""
+    n, c, h, wd = x.shape
+    oc = w.shape[1]
+    oh = (h - 1) * stride + k
+    ow = (wd - 1) * stride + k
+    out = np.zeros((n, oc, oh, ow), dtype=x.dtype)
+    contrib = np.einsum("nchw,cokl->nohkwl", x, w)  # (n,oc,h,k,w,k)
+    for ki in range(k):
+        for kj in range(k):
+            out[:, :, ki : ki + h * stride : stride, kj : kj + wd * stride : stride] += contrib[
+                :, :, :, ki, :, kj
+            ]
+    return out
+
+
+class CLRSNumpy:
+    """Seeded CLRS-topology forward (``gluonocr/model_zoo/clrs/clrs.py``):
+
+    * backbone + extra layers give a multi-scale feature list;
+    * DM cascade (clrs.py:10-29): deconv(top)·conv(lateral) gated by an
+      elementwise PRODUCT then relu — CLRS's signature fusion (vs the
+      FPN's sum);
+    * PM heads (clrs.py:31-50): skip 1×1 + bone 1×1³, relu(sum), then
+      conf (k·(classes+1)) and loc (k·4) 3×3 heads per scale;
+    * SegPred (clrs.py:78-106): SM blocks (skip+bone relu-sum, nearest
+      upsample to common scale), add_n fusion, deconv tail → 4-channel
+      sigmoid seg maps (the position-sensitive maps D17 consumes).
+
+    The gluoncv anchor generator / box decoder / box_nms stay out of
+    slice (SSD plumbing); the outputs here are the raw per-scale
+    (cls, loc) heads + seg maps, which the D17 post-process and G6
+    targets already cover downstream."""
+
+    def __init__(self, seed: int = 23, in_channels: int = 3, dm: int = 12, pm: int = 12, sm: int = 8, k: int = 4):
+        rng = np.random.default_rng(seed)
+        w: dict[str, np.ndarray] = {}
+        self.k = k
+        chans = (8, 12, 16)
+        prev = in_channels
+        w["stem"] = _xavier(rng, (chans[0], prev, 3, 3))
+        prev = chans[0]
+        for i, ch in enumerate(chans):  # /4 /8 /16
+            w[f"stage{i}"] = _xavier(rng, (ch, prev, 3, 3))
+            prev = ch
+        for i in range(2):  # extras: /32 /64
+            w[f"extra{i}_c1"] = _xavier(rng, (8, prev, 1, 1))
+            w[f"extra{i}_c3"] = _xavier(rng, (16, 8, 3, 3))
+            prev = 16
+        # DM cascade over the 5 scales (4 merges), top-down
+        ins = (16, 16, 12, 8)  # lateral channels at /32 /16 /8 /4
+        for i in range(4):
+            w[f"dm{i}_dc"] = _xavier(rng, (dm if i else 16, dm, 2, 2))
+            w[f"dm{i}_dconv"] = _xavier(rng, (dm, dm, 3, 3))
+            w[f"dm{i}_g0"] = np.ones(dm)
+            w[f"dm{i}_b0"] = np.zeros(dm)
+            w[f"dm{i}_cv0"] = _xavier(rng, (dm, ins[i], 3, 3))
+            w[f"dm{i}_g1"] = np.ones(dm)
+            w[f"dm{i}_b1"] = np.zeros(dm)
+            w[f"dm{i}_cv1"] = _xavier(rng, (dm, dm, 3, 3))
+            w[f"dm{i}_g2"] = np.ones(dm)
+            w[f"dm{i}_b2"] = np.zeros(dm)
+        # PM heads on the 5 pyramid outputs
+        pm_ins = (dm, dm, dm, dm, 16)
+        for i in range(5):
+            w[f"pm{i}_skip"] = _xavier(rng, (pm, pm_ins[i], 1, 1))
+            for j in range(3):
+                w[f"pm{i}_bone{j}"] = _xavier(rng, (pm, pm if j else pm_ins[i], 1, 1))
+            w[f"pm{i}_conf"] = _xavier(rng, (k * 5, pm, 3, 3))
+            w[f"pm{i}_loc"] = _xavier(rng, (k * 4, pm, 3, 3))
+        # SegPred SMs on the 5 scales + tail
+        for i, inc in enumerate(pm_ins):
+            w[f"sm{i}_skip"] = _xavier(rng, (sm, inc, 1, 1))
+            w[f"sm{i}_gs"] = np.ones(sm)
+            w[f"sm{i}_bs"] = np.zeros(sm)
+            for j in range(3):
+                w[f"sm{i}_bone{j}"] = _xavier(rng, (sm, sm if j else inc, 1, 1))
+                w[f"sm{i}_g{j}"] = np.ones(sm)
+                w[f"sm{i}_b{j}"] = np.zeros(sm)
+        w["tail_c0"] = _xavier(rng, (sm, sm, 1, 1))
+        w["tail_g0"] = np.ones(sm)
+        w["tail_b0"] = np.zeros(sm)
+        w["tail_d1"] = _xavier(rng, (sm, sm, 2, 2))
+        w["tail_c1"] = _xavier(rng, (sm, sm, 3, 3))
+        w["tail_g1"] = np.ones(sm)
+        w["tail_b1"] = np.zeros(sm)
+        w["tail_d2"] = _xavier(rng, (sm, 4, 2, 2))
+        self.weights = w
+        self.dm_ch = dm
+        self.sm_ch = sm
+
+    def _dm(self, i: int, top: np.ndarray, lateral: np.ndarray) -> np.ndarray:
+        w = self.weights
+        x1 = deconv_s2_generic(top, w[f"dm{i}_dc"], 2, 2)
+        x1 = batchnorm(conv2d(x1, w[f"dm{i}_dconv"], pad=1), w[f"dm{i}_g0"], w[f"dm{i}_b0"])
+        x2 = relu(batchnorm(conv2d(lateral, w[f"dm{i}_cv0"], pad=1), w[f"dm{i}_g1"], w[f"dm{i}_b1"]))
+        x2 = batchnorm(conv2d(x2, w[f"dm{i}_cv1"], pad=1), w[f"dm{i}_g2"], w[f"dm{i}_b2"])
+        return relu(x1 * x2)  # the multiplicative gate (clrs.py:26-29)
+
+    def _sm(self, i: int, x: np.ndarray, scale: int) -> np.ndarray:
+        w = self.weights
+        x1 = batchnorm(conv2d(x, w[f"sm{i}_skip"]), w[f"sm{i}_gs"], w[f"sm{i}_bs"])
+        x2 = x
+        for j in range(3):
+            x2 = batchnorm(conv2d(x2, w[f"sm{i}_bone{j}"]), w[f"sm{i}_g{j}"], w[f"sm{i}_b{j}"])
+            if j < 2:
+                x2 = relu(x2)
+        y = relu(x1 + x2)
+        for _ in range(int(np.log2(scale))):
+            y = nearest_up2(y)
+        return y
+
+    def forward(self, x: np.ndarray) -> dict:
+        w = self.weights
+        y = relu(conv2d(np.asarray(x, dtype=np.float64), w["stem"], stride=2, pad=1))
+        feats = []
+        for i in range(3):
+            y = relu(conv2d(y, w[f"stage{i}"], stride=2, pad=1))
+            feats.append(y)  # /4 /8 /16
+        for i in range(2):
+            y = relu(conv2d(y, w[f"extra{i}_c1"]))
+            y = relu(conv2d(y, w[f"extra{i}_c3"], stride=2, pad=1))
+            feats.append(y)  # /32 /64
+        top = feats[-1]
+        pyramid = [top]
+        for i, lateral in enumerate(reversed(feats[:-1])):  # /32 /16 /8 /4
+            top = self._dm(i, top, lateral)
+            pyramid.append(top)
+        pyramid = pyramid[::-1]  # finest → coarsest
+        cls_preds, loc_preds = [], []
+        for i, feat in enumerate(pyramid):
+            x1 = conv2d(feat, w[f"pm{i}_skip"])
+            x2 = feat
+            for j in range(3):
+                x2 = conv2d(x2, w[f"pm{i}_bone{j}"])
+            fused = relu(x1 + x2)
+            conf = conv2d(fused, w[f"pm{i}_conf"], pad=1)
+            loc = conv2d(fused, w[f"pm{i}_loc"], pad=1)
+            n = conf.shape[0]
+            cls_preds.append(conf.transpose(0, 2, 3, 1).reshape(n, -1))
+            loc_preds.append(loc.transpose(0, 2, 3, 1).reshape(n, -1))
+        cls_preds = np.concatenate(cls_preds, axis=1).reshape(x.shape[0], -1, 5)
+        loc_preds = np.concatenate(loc_preds, axis=1).reshape(x.shape[0], -1, 4)
+        # SegPred over the pyramid, fused at the finest (/4) scale
+        sm_feats = [self._sm(i, f, 2**i) for i, f in enumerate(pyramid)]
+        fuse = relu(np.sum(sm_feats, axis=0))
+        t = relu(batchnorm(conv2d(fuse, w["tail_c0"]), w["tail_g0"], w["tail_b0"]))
+        t = deconv2x2_s2(t, w["tail_d1"])
+        t = relu(batchnorm(conv2d(t, w["tail_c1"], pad=1), w["tail_g1"], w["tail_b1"]))
+        seg_maps = sigmoid(deconv2x2_s2(t, w["tail_d2"]))
+        return {"cls_preds": cls_preds, "loc_preds": loc_preds, "seg_maps": seg_maps}

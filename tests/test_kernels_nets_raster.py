@@ -487,3 +487,41 @@ class TestSTN:
         a = STNNumpy(seed=19).forward(x)
         b = STNNumpy(seed=19).forward(x)
         assert a.shape == x.shape and np.array_equal(a, b)
+
+
+class TestCLRSNet:
+    """N4 CLRS-topology forward (model_zoo/clrs/clrs.py)."""
+
+    def test_shapes_and_determinism(self):
+        from gluon_ocr_spark.kernels.nets import CLRSNumpy
+
+        x = np.random.default_rng(3).normal(size=(1, 3, 64, 64))
+        out = CLRSNumpy(seed=23).forward(x)
+        # 5 scales (/4../64), k=4 anchors/pos: 4·(16²+8²+4²+2²+1) = 1364
+        assert out["cls_preds"].shape == (1, 1364, 5)
+        assert out["loc_preds"].shape == (1, 1364, 4)
+        assert out["seg_maps"].shape == (1, 4, 64, 64)  # input res, 4 channels
+        assert 0 <= out["seg_maps"].min() and out["seg_maps"].max() <= 1
+        out2 = CLRSNumpy(seed=23).forward(x)
+        assert all(np.array_equal(out[k], out2[k]) for k in out)
+
+    def test_dm_gate_is_multiplicative(self):
+        # zeroing the lateral input nulls the DM output (x1·x2 gate,
+        # clrs.py:26-29) — a summing FPN would NOT null it
+        from gluon_ocr_spark.kernels.nets import CLRSNumpy
+
+        net = CLRSNumpy(seed=23)
+        top = np.random.default_rng(0).normal(size=(1, 16, 2, 2))
+        lateral = np.zeros((1, 16, 4, 4))
+        assert np.abs(net._dm(0, top, lateral)).max() == 0.0
+
+    def test_seg_maps_feed_d17(self):
+        # the net's 4-channel seg output is shape-compatible with the
+        # CLRS post-process quadrant scorer
+        from gluon_ocr_spark.kernels.clrs import clrs_scores
+        from gluon_ocr_spark.kernels.nets import CLRSNumpy
+
+        x = np.random.default_rng(5).normal(size=(1, 3, 64, 64))
+        seg = CLRSNumpy(seed=23).forward(x)["seg_maps"][0]
+        scores = clrs_scores([[10, 10, 40, 10, 40, 30, 10, 30]], seg)
+        assert len(scores) == 1 and 0 <= scores[0] <= 1
