@@ -807,6 +807,29 @@ def sql_events_pivot_types(d: str) -> str:
     """
 
 
+def events_unpivot_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (the stack twin of events_pivot_types): the per-user
+    type-count matrix melts back to (user_id, event_type, n) long form
+    via Spark's ``stack`` table generator — a Generate node, no
+    shuffle beyond the pivot's own aggregation."""
+    register_views(spark, sf_dir)
+    types = ("click", "view", "purchase", "signup", "error")
+    wide = spark.sql(sql_events_pivot_types(SPARK))
+    stack_expr = "stack({}, {}) AS (event_type, n)".format(
+        len(types), ", ".join(f"'{t}', n_{t}" for t in types)
+    )
+    return wide.selectExpr("user_id", stack_expr).where("n > 0")
+
+
+def _oracle_events_unpivot(d: str) -> str:
+    types = ("click", "view", "purchase", "signup", "error")
+    base = sql_events_pivot_types(DUCK)
+    arms = " UNION ALL ".join(
+        f"SELECT user_id, '{t}' AS event_type, n_{t} AS n FROM wide WHERE n_{t} > 0" for t in types
+    )
+    return f"WITH wide AS ({base}) {arms}"
+
+
 def sql_events_quantiles(d: str) -> str:
     """Exact interpolated quantiles + exact distinct (the bench twin of
     approx_count_distinct / percentile_approx, which are
@@ -1005,6 +1028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["dedup_minhash_pairs"] = dedup_minhash_pairs_query
     out["dedup_simhash_hamming"] = dedup_simhash_hamming_query
+    out["events_unpivot"] = events_unpivot_query
     out["extract_roundtrip"] = extract_roundtrip_query
     out["extract_lines"] = extract_lines_query
     out["extract_stats"] = extract_stats_query
@@ -1021,6 +1045,7 @@ def oracle_sql() -> dict[str, str]:
     out["extract_lines"] = _oracle_extract_lines(DUCK)
     out["extract_stats"] = _oracle_extract_stats(DUCK)
     out["events_session_window_native"] = _oracle_session_window(DUCK)
+    out["events_unpivot"] = _oracle_events_unpivot(DUCK)
     from .operators.kernel_queries import kernel_oracles
 
     out.update(kernel_oracles())

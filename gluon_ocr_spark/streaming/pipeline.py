@@ -163,3 +163,23 @@ def hourly_event_counts(events: DataFrame, watermark: str = "2 hours") -> DataFr
             "total_value",
         )
     )
+
+
+def dedup_stream(
+    docs: DataFrame,
+    key_cols: tuple[str, ...] = ("url",),
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per key within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` — state
+    for a key is dropped once the watermark passes its event time, so
+    state size is bounded by the horizon's arrival rate, not by the
+    total corpus — the property that keeps a 10^12-url stream
+    feasible). The batch twin is ``operators.dedup.drop_exact_dups``;
+    recrawls of the same url separated by more than the horizon are
+    deliberately re-emitted (a recrawl IS a new observation)."""
+    from pyspark.sql import functions as F
+
+    d = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(ts_col, watermark)
+    return d.dropDuplicatesWithinWatermark(list(key_cols))

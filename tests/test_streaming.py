@@ -82,3 +82,35 @@ def test_media_metadata_streams(spark, tmp_path):
     assert got["p1"]["decoder"] == "stdlib-png" and got["p1"]["width"] == 10
     assert got["w1"]["decoder"] == "stdlib-wav" and got["w1"]["n_frames"] == 64
     assert got["j1"]["decoder"] == "fake-deterministic"
+
+
+def test_dedup_stream_drops_in_horizon_duplicates(spark, tmp_path):
+    """Streaming exact dedup: duplicate urls arriving within the
+    watermark horizon collapse to one row; state is keyed+bounded."""
+    import datetime as dt
+
+    from gluon_ocr_spark.streaming.pipeline import dedup_stream
+
+    src = str(tmp_path / "docs_in")
+    base = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        ("http://a", base, "one"),
+        ("http://a", base + dt.timedelta(minutes=5), "dup-in-horizon"),
+        ("http://b", base + dt.timedelta(minutes=1), "two"),
+        ("http://b", base + dt.timedelta(minutes=2), "dup2"),
+        ("http://c", base + dt.timedelta(minutes=3), "three"),
+    ]
+    spark.createDataFrame(rows, "url string, warc_ts timestamp, text string").write.parquet(src)
+
+    stream = spark.readStream.schema("url string, warc_ts timestamp, text string").parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup_stream_out")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select url, count(*) n from dedup_stream_out group by url").collect()
+    assert {r["url"]: r["n"] for r in got} == {"http://a": 1, "http://b": 1, "http://c": 1}
