@@ -152,6 +152,44 @@ def sql_text_fingerprint(d: str) -> str:
 # ---------------------------------------------------------------------------
 
 
+def sql_text_winnow(d: str) -> str:
+    """Winnowing fingerprints (the rolling-hash document fingerprint
+    of MOSS/Schleimer et al.): slide a window of W=4 over the token
+    hash sequence, keep each window's MIN hash, emit the DISTINCT
+    selected fingerprints per doc. Guarantees any shared run of W
+    consecutive tokens between two docs shares a fingerprint —
+    the contains-style near-dup detector that pairs with MinHash's
+    resemblance detector. All-expression SQL (sequence/transform/
+    array_min), identical in both dialects.
+
+    Scale note: the candidate-pair consumer joins docs on shared
+    fingerprints and MUST cap fingerprint document-frequency first
+    (drop fps appearing in > F docs — boilerplate runs) or hot
+    fingerprints degenerate the join toward all-pairs; on this
+    synthetic corpus the shared vocabulary makes every fp hot (29
+    distinct fps over 500 docs), so only the extraction stage is a
+    gate query."""
+    codes = pt.token_codes("text", d)
+    w = 4
+    if d == SPARK:
+        windows = (
+            f"transform(sequence(1, greatest(size(codes) - {w - 1}, 1)), "
+            f"i -> array_min(slice(codes, i, {w})))"
+        )
+    else:
+        windows = (
+            f"list_transform(generate_series(1, greatest(len(codes) - {w - 1}, 1)), "
+            f"i -> list_min(list_slice(codes, i, i + {w - 1})))"
+        )
+    explode = "explode" if d == SPARK else "unnest"
+    return f"""
+    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents),
+    w AS (SELECT doc_id, {windows} AS fps FROM c)
+    SELECT DISTINCT doc_id, {explode}(fps) AS fingerprint
+    FROM w
+    """
+
+
 def sql_dedup_exact(d: str) -> str:
     """Exact dedup via content-hash groupBy (map-side combinable; at
     scale this is a single shuffle on the 128-bit hash)."""
@@ -885,6 +923,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_quality": sql_text_quality,
     "text_lang_id": sql_text_lang_id,
     "text_fingerprint": sql_text_fingerprint,
+    "text_winnow": sql_text_winnow,
     "dedup_exact": sql_dedup_exact,
     "dedup_token_jaccard": sql_dedup_token_jaccard,
     "dedup_minhash_bands": sql_dedup_minhash_bands,
