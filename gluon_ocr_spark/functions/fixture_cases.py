@@ -374,6 +374,13 @@ def compute_labelgen(i: int) -> dict:
         "masked_out_pixels": int((shrink["mask"] == 0).sum()),
         "n_ignored": int(sum(shrink["ignore_tags"])),
         "geo_norm_sum": _r(float(shrink["geo_map"][8].sum()), 6),
+        # winding-SENSITIVE digest: channel-weighted so a (0,3,2,1)
+        # corner permutation (channels 2/3 ↔ 6/7) changes the value —
+        # catches an inverted winding test (ADVICE r2 high) that the
+        # permutation-invariant fields miss.
+        "geo_corner_sum": _r(
+            float(sum((k + 1) * shrink["geo_map"][k].sum() for k in range(8))), 4
+        ),
         "border_mean": _r(float(border["thresh_map"].mean()), 6),
         "border_mask_pixels": int(border["thresh_mask"].sum()),
     }

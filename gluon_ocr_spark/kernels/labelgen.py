@@ -52,8 +52,18 @@ def validate_polygons(
 ) -> tuple[list[np.ndarray], list[bool]]:
     """Reference validate_polygons (make_seg_data.py:95-113): polygons
     fully outside the canvas → ignore; clip coords into the canvas;
-    |area| < 1 → ignore; the reference's signed-area convention keeps
-    rings NEGATIVE — positive ones are reordered (0,3,2,1)."""
+    |area| < 1 → ignore; positive *reference-convention* area →
+    reorder (0,3,2,1).
+
+    The reference's polygon_area (make_seg_data.py:112-119) is the
+    edge-sum ``Σ(x_{i+1}-x_i)(y_{i+1}+y_i)/2`` — the NEGATION of the
+    standard shoelace :func:`_signed_area`.  A standard clockwise
+    tl,tr,br,bl quad in image (y-down) coordinates has shoelace +A but
+    reference area −A, so it is kept as-is; only reversed-wound quads
+    trigger the (0,3,2,1) reorder.  (Round-2 shipped the test inverted
+    — flagged by ADVICE r2 — which swapped geo_map corner channels
+    2/3 and 6/7 for typical inputs; fixed and pinned by
+    test_kernels_nets_raster.TestLabelGen winding tests.)"""
     polys = [np.asarray(p, dtype=np.float64).copy() for p in polygons]
     tags = list(ignore_tags)
     for i, p in enumerate(polys):
@@ -62,7 +72,7 @@ def validate_polygons(
             continue
         p[:, 0] = np.clip(p[:, 0], 0, w - 1)
         p[:, 1] = np.clip(p[:, 1], 0, h - 1)
-        area = _signed_area(p)
+        area = -_signed_area(p)  # reference edge-sum convention
         if abs(area) < 1:
             tags[i] = True
         if area > 0:

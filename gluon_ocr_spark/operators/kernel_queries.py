@@ -61,7 +61,7 @@ SCHEMAS = {
     ),
     "kernel_labelgen": (
         "case_id bigint, gt_pixels bigint, masked_out_pixels bigint, n_ignored bigint, "
-        "geo_norm_sum double, border_mean double, border_mask_pixels bigint"
+        "geo_norm_sum double, geo_corner_sum double, border_mean double, border_mask_pixels bigint"
     ),
     "kernel_att_pipeline": "img_id bigint, ids string, enc_sum double, proj_sum double",
     "kernel_clrs_boxes": (

@@ -249,11 +249,35 @@ class TestLabelGen:
         # geo channel 8 = 1/min(h,w) = 1/12 over the shrunk region
         ch8 = out["geo_map"][8]
         assert abs(ch8.max() - 1 / 12) < 1e-6
-        # corner-offset channels: at a pixel inside, offset = pixel - corner
+        # corner-offset channels: at a pixel inside, offset = pixel - corner.
+        # The quad is standard clockwise tl,tr,br,bl — reference
+        # polygon_area (edge-sum, make_seg_data.py:112-119) is NEGATIVE
+        # for it, so validate_polygons must NOT reorder: corners 1-3
+        # stay (40,20),(40,32),(10,32).  Pins the ADVICE-r2 winding fix.
         ys, xs = np.nonzero(out["gt"])
         y0, x0 = ys[0], xs[0]
         assert out["geo_map"][0, y0, x0] == x0 - 10  # corner 0 x
         assert out["geo_map"][1, y0, x0] == y0 - 20  # corner 0 y
+        assert out["geo_map"][2, y0, x0] == x0 - 40  # corner 1 x (tr)
+        assert out["geo_map"][3, y0, x0] == y0 - 20  # corner 1 y
+        assert out["geo_map"][4, y0, x0] == x0 - 40  # corner 2 x (br)
+        assert out["geo_map"][5, y0, x0] == y0 - 32  # corner 2 y
+        assert out["geo_map"][6, y0, x0] == x0 - 10  # corner 3 x (bl)
+        assert out["geo_map"][7, y0, x0] == y0 - 32  # corner 3 y
+
+    def test_validate_polygons_winding_convention(self):
+        """Reference edge-sum area = −shoelace: clockwise tl,tr,br,bl
+        (ref area < 0) is kept verbatim; the reversed winding
+        tl,bl,br,tr (ref area > 0) is reordered (0,3,2,1) back to
+        standard order (make_seg_data.py:99-119)."""
+        from gluon_ocr_spark.kernels.labelgen import validate_polygons
+
+        cw = np.array([[10, 20], [40, 20], [40, 32], [10, 32]], float)
+        rev = cw[(0, 3, 2, 1), :]  # tl,bl,br,tr
+        polys, tags = validate_polygons([cw, rev], [False, False], 64, 64)
+        assert tags == [False, False]
+        np.testing.assert_array_equal(polys[0], cw)   # untouched
+        np.testing.assert_array_equal(polys[1], cw)   # reordered back
 
     def test_shrink_map_small_text_ignored(self):
         from gluon_ocr_spark.kernels.labelgen import make_shrink_map
