@@ -107,6 +107,137 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text
     return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def connected_components(
+    pairs: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 50,
+    checkpoint: bool = True,
+) -> DataFrame:
+    """Duplicate-cluster resolution: connected components over a pair
+    graph via alternating large-star / small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) —
+    O(log n) rounds, every step an equi-join or a groupBy-min.
+
+    This is the stage AFTER candidate/verified pairs that a real
+    dedup deployment needs: pairs alone leave transitive duplicates
+    alive (A~B, B~C but A≁C ⇒ C survives a pairwise keep-policy).
+    Returns one row per node that appears in ``pairs``:
+    ``(node, cluster_id)`` with ``cluster_id`` = min node id of the
+    component — deterministic, engine-independent.
+
+    Scale design (10^12 docs):
+
+    * NO ``collect_list`` star materialization — a boilerplate hub
+      with 10^8 neighbors would concentrate in one task.  Each star
+      round is ``groupBy(u).agg(min)`` (map-side combinable) plus an
+      equi-join of the edge list back to the per-node min: hot nodes
+      stay distributed across their edge partitions.
+    * Edges are kept canonical ``u > v`` and de-duplicated per round,
+      so the working set shrinks monotonically toward the star forest.
+    * ``localCheckpoint`` after every round truncates the growing
+      lineage (iterative plans otherwise re-plan the whole history
+      each action; on a real cluster prefer reliable
+      ``checkpoint()`` on HDFS/object storage so executor loss
+      cannot lose iteration state).
+    * Convergence = (count, xor-ish checksum) of the canonical edge
+      set stable — two cheap aggregates per round, no driver-side
+      edge collection; rounds are O(log n) by the large/small-star
+      potential argument, 3-5 in practice for near-clique dup graphs.
+    """
+    from pyspark.sql import Column
+
+    def canon(e: DataFrame) -> DataFrame:
+        # canonical high→low orientation, self-loops dropped
+        return (
+            e.where(F.col("u") != F.col("v"))
+            .select(
+                F.greatest("u", "v").alias("u"),
+                F.least("u", "v").alias("v"),
+            )
+            .distinct()
+        )
+
+    def checksum(e: DataFrame) -> tuple[int, int]:
+        row = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        return int(row["n"]), int(row["h"])
+
+    edges = canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    if checkpoint:
+        edges = edges.localCheckpoint(eager=True)
+    prev = checksum(edges)
+
+    for _ in range(max_iterations):
+        # -- large-star: for each node u, link every LARGER neighbor v
+        #    to m(u) = min(Γ(u) ∪ {u}). Halves tall trees.
+        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        m_large = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        edges = canon(
+            sym.join(m_large, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        # -- small-star: for each node u, link u and every SMALLER
+        #    neighbor to m(u) = min(Γ⁻(u) ∪ {u}) (edges are canonical
+        #    u > v, so Γ⁻ is just the v column).
+        m_small = edges.groupBy("u").agg(F.min("v").alias("m"))
+        small = edges.join(m_small, "u")
+        edges = canon(
+            small.where(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(small.select("u", "m"))
+        )
+        if checkpoint:
+            edges = edges.localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
+    # Converged star forest: every non-root points straight at the
+    # component min. Roots are the distinct targets.
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id")).union(
+        edges.select("v", "v").distinct()
+    )
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Corpus-level keep/drop decisions from a duplicate-pair graph:
+    ``(doc_id, cluster_id, cluster_size, keep)`` for EVERY corpus doc
+    (singletons are their own cluster). ``keep`` marks the canonical
+    min-id doc per cluster — the policy the reference's corpus
+    semantics imply (detect_dataset.py keeps first occurrence).
+
+    One equi-join of the (small) label table back to the corpus plus
+    one count shuffle on cluster_id; the corpus itself shuffles once.
+    """
+    labels = connected_components(pairs, src, dst)
+    out = (
+        df.select(F.col(id_col).alias("doc_id"))
+        .join(labels.withColumnRenamed("node", "doc_id"), "doc_id", "left")
+        .withColumn("cluster_id", F.coalesce("cluster_id", "doc_id"))
+    )
+    sizes = out.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        out.join(sizes, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("cluster_id")).alias("keep"),
+        )
+    )
+
+
 def simhash_hamming_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -1050,6 +1050,52 @@ def dedup_minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, materialize=True)
 
 
+def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate-CLUSTER resolution — the stage after candidate pairs
+    that an actual corpus dedup needs (pairs alone leave transitive
+    dups alive: A~B, B~C, A≁C ⇒ C survives a pairwise keep rule).
+
+    Feeds the MinHash candidate pairs into alternating large-star/
+    small-star connected components (all equi-joins, O(log n) rounds)
+    and emits one row per corpus doc: (doc_id, cluster_id = min doc_id
+    of the component, cluster_size, keep = is-canonical). Oracle: the
+    same pair template + a DuckDB recursive CTE that propagates min
+    labels along edges."""
+    from .operators.dedup import dedup_clusters, minhash_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_candidate_pairs(docs, materialize=True)
+    return dedup_clusters(docs, pairs)
+
+
+def _oracle_dedup_clusters(d: str) -> str:
+    """Recursive min-label reachability: a (id, r) row means node r
+    reaches node id; pruning r < v keeps only downward label flow
+    (the component min still reaches every member), then min(r) per
+    id is the cluster label."""
+    pairs = sql_dedup_minhash_pairs(d)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.u = reach.id
+        WHERE reach.r < e.v
+    ),
+    labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS keep
+    FROM labels
+    """
+
+
 def dedup_simhash_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-operator variant of sql_dedup_simhash_hamming:
     persists the (id, simhash) projection so the md5 token-hash pass
@@ -1067,6 +1113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
     out["dedup_minhash_pairs"] = dedup_minhash_pairs_query
     out["dedup_simhash_hamming"] = dedup_simhash_hamming_query
+    out["dedup_clusters"] = dedup_clusters_query
     out["events_unpivot"] = events_unpivot_query
     out["extract_roundtrip"] = extract_roundtrip_query
     out["extract_lines"] = extract_lines_query
@@ -1085,6 +1132,7 @@ def oracle_sql() -> dict[str, str]:
     out["extract_stats"] = _oracle_extract_stats(DUCK)
     out["events_session_window_native"] = _oracle_session_window(DUCK)
     out["events_unpivot"] = _oracle_events_unpivot(DUCK)
+    out["dedup_clusters"] = _oracle_dedup_clusters(DUCK)
     from .operators.kernel_queries import kernel_oracles
 
     out.update(kernel_oracles())

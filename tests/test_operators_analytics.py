@@ -212,3 +212,68 @@ def test_image_features_cross_format_dedup(spark):
     assert rows["png"]["feature"] == rows["bmp"]["feature"]
     assert len(rows["png"]["feature"]) == 64
     assert rows["junk"]["dhash"] is None and rows["junk"]["feature"] is None
+
+
+class TestConnectedComponents:
+    """Duplicate-cluster resolution (large-star/small-star CC)."""
+
+    def _cc(self, spark, edges):
+        from gluon_ocr_spark.operators.dedup import connected_components
+
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        return {
+            r["node"]: r["cluster_id"]
+            for r in connected_components(pairs).collect()
+        }
+
+    def test_transitive_chain(self, spark):
+        # A~B, B~C but A≁C directly — the case pairwise keep rules miss
+        labels = self._cc(spark, [(1, 2), (2, 3)])
+        assert labels == {1: 1, 2: 1, 3: 1}
+
+    def test_long_path_needs_multiple_rounds(self, spark):
+        # path 1-2-...-12: diameter 11 forces >1 large/small-star round
+        labels = self._cc(spark, [(i, i + 1) for i in range(1, 12)])
+        assert labels == {i: 1 for i in range(1, 13)}
+
+    def test_two_components_and_reversed_dup_edges(self, spark):
+        labels = self._cc(spark, [(5, 7), (7, 5), (7, 9), (20, 21), (21, 20)])
+        assert labels == {5: 5, 7: 5, 9: 5, 20: 20, 21: 20}
+
+    def test_random_graph_matches_union_find(self, spark):
+        rng = np.random.default_rng(42)
+        n = 60
+        edges = [
+            (int(a), int(b))
+            for a, b in rng.integers(0, n, size=(80, 2))
+            if a != b
+        ]
+        parent = list(range(n))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            parent[find(a)] = find(b)
+        comp = {}
+        for v in range(n):
+            comp.setdefault(find(v), []).append(v)
+        expected = {v: min(vs) for vs in comp.values() for v in vs if len(vs) > 1}
+        labels = self._cc(spark, edges)
+        assert labels == expected
+
+    def test_dedup_clusters_keep_policy(self, spark):
+        from gluon_ocr_spark.operators.dedup import dedup_clusters
+
+        corpus = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id bigint")
+        pairs = spark.createDataFrame([(1, 2), (2, 3), (5, 6)], "doc_a bigint, doc_b bigint")
+        rows = {r["doc_id"]: r for r in dedup_clusters(corpus, pairs).collect()}
+        assert len(rows) == 7  # every corpus doc, singletons included
+        assert [rows[i]["cluster_id"] for i in range(1, 8)] == [1, 1, 1, 4, 5, 5, 7]
+        assert [rows[i]["keep"] for i in range(1, 8)] == [
+            True, False, False, True, True, False, True,
+        ]
+        assert rows[1]["cluster_size"] == 3 and rows[4]["cluster_size"] == 1
