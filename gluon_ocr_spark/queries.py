@@ -162,13 +162,9 @@ def sql_text_winnow(d: str) -> str:
     resemblance detector. All-expression SQL (sequence/transform/
     array_min), identical in both dialects.
 
-    Scale note: the candidate-pair consumer joins docs on shared
-    fingerprints and MUST cap fingerprint document-frequency first
-    (drop fps appearing in > F docs — boilerplate runs) or hot
-    fingerprints degenerate the join toward all-pairs; on this
-    synthetic corpus the shared vocabulary makes every fp hot (29
-    distinct fps over 500 docs), so only the extraction stage is a
-    gate query."""
+    The candidate-pair consumer (``text_winnow_pairs``) joins docs on
+    shared fingerprints with a document-frequency cap applied BEFORE
+    the join — see :func:`sql_text_winnow_pairs`."""
     codes = pt.token_codes("text", d)
     w = 4
     if d == SPARK:
@@ -187,6 +183,45 @@ def sql_text_winnow(d: str) -> str:
     w AS (SELECT doc_id, {windows} AS fps FROM c)
     SELECT DISTINCT doc_id, {explode}(fps) AS fingerprint
     FROM w
+    """
+
+
+def sql_text_winnow_pairs(d: str) -> str:
+    """The winnowing candidate-pair CONSUMER (the stage text_winnow's
+    docstring documented but round 2 did not implement): join docs on
+    shared selected fingerprints, score by shared-fp count and
+    containment (shared / smaller doc's fp set).
+
+    The scale-critical piece is the document-frequency cap BEFORE the
+    join: a fingerprint appearing in > F docs (boilerplate runs —
+    headers, footers, license blocks) contributes C(df,2) pairs, so
+    hot fps degenerate the self-join toward all-pairs. The window
+    count + ``df <= F`` filter bounds every fingerprint's contribution
+    to C(F,2); the join is then a plain equi-join on fingerprint with
+    constant worst-case blow-up. At lake scale the df count is a
+    groupBy aggregate on the (already materialized) fingerprint table
+    and the cap drops the hot keys before any shuffle of doc ids."""
+    winnow = sql_text_winnow(d)
+    cap = 20
+    return f"""
+    WITH w AS ({winnow}),
+    f AS (
+        SELECT doc_id, fingerprint FROM (
+            SELECT doc_id, fingerprint,
+                   count(*) OVER (PARTITION BY fingerprint) AS df
+            FROM w
+        ) t WHERE df <= {cap}
+    ),
+    n AS (SELECT doc_id, count(*) AS n_fp FROM f GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           count(*) AS shared_fps,
+           round(cast(count(*) AS double) /
+                 least(min(na.n_fp), min(nb.n_fp)), 4) AS containment
+    FROM f a
+    JOIN f b ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    JOIN n na ON na.doc_id = a.doc_id
+    JOIN n nb ON nb.doc_id = b.doc_id
+    GROUP BY a.doc_id, b.doc_id
     """
 
 
@@ -924,6 +959,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_lang_id": sql_text_lang_id,
     "text_fingerprint": sql_text_fingerprint,
     "text_winnow": sql_text_winnow,
+    "text_winnow_pairs": sql_text_winnow_pairs,
     "dedup_exact": sql_dedup_exact,
     "dedup_token_jaccard": sql_dedup_token_jaccard,
     "dedup_minhash_bands": sql_dedup_minhash_bands,
@@ -1050,6 +1086,48 @@ def dedup_minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, materialize=True)
 
 
+def text_winnow_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator variant of sql_text_winnow_pairs: persists the CAPPED
+    fingerprint table once, so the winnow selection (the expensive
+    md5 + sliding-window pass) runs one time instead of once per join
+    leg (the SQL template recomputes the CTE 4×: two pair sides + two
+    n_fp joins). Same rows as the template/oracle."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window, functions as F
+
+    register_views(spark, sf_dir)
+    cap = 20
+    fps = spark.sql(sql_text_winnow(SPARK))
+
+    capped = (
+        fps.withColumn("df", F.count("*").over(Window.partitionBy("fingerprint")))
+        .where(F.col("df") <= cap)
+        .drop("df")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    n = capped.groupBy("doc_id").agg(F.count("*").alias("n_fp"))
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fingerprint") == F.col("b.fingerprint"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared_fps"))
+        .join(n.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_fp", "na"), "doc_a")
+        .join(n.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_fp", "nb"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            "shared_fps",
+            F.round(
+                F.col("shared_fps").cast("double") / F.least("na", "nb"), 4
+            ).alias("containment"),
+        )
+    )
+
+
 def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate-CLUSTER resolution — the stage after candidate pairs
     that an actual corpus dedup needs (pairs alone leave transitive
@@ -1114,6 +1192,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_minhash_pairs"] = dedup_minhash_pairs_query
     out["dedup_simhash_hamming"] = dedup_simhash_hamming_query
     out["dedup_clusters"] = dedup_clusters_query
+    out["text_winnow_pairs"] = text_winnow_pairs_query
     out["events_unpivot"] = events_unpivot_query
     out["extract_roundtrip"] = extract_roundtrip_query
     out["extract_lines"] = extract_lines_query
