@@ -36,14 +36,19 @@ from ..kernels.blocks import DEFAULT_CONFIG, ExtractionConfig
 from ..kernels.extract import extract_document
 from .partitioning import salt_partition
 
-# docs: one row per page; span data as parallel arrays (see module note)
+# docs: one row per page; span data as parallel arrays (see module note).
+# NO line_texts array: doc text already contains every line byte
+# ('\n'.join contract), so shipping per-line copies through the Arrow
+# UDF edge doubled the payload — lines are recovered relationally via
+# substring(text, start+1, end-start) in docs_to_lines (code-point
+# exact in both engines; pinned by test_extract_parity).
 DOCS_SCHEMA = (
     "url string, text string, n_lines int, n_chars int, "
     "starts array<int>, ends array<int>, scores array<float>, "
-    "tags array<string>, dom_orders array<int>, line_texts array<string>"
+    "tags array<string>, dom_orders array<int>"
 )
 
-_COLS = ("url", "text", "n_lines", "n_chars", "starts", "ends", "scores", "tags", "dom_orders", "line_texts")
+_COLS = ("url", "text", "n_lines", "n_chars", "starts", "ends", "scores", "tags", "dom_orders")
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame], cfg: ExtractionConfig = DEFAULT_CONFIG) -> Iterator[pd.DataFrame]:
@@ -61,7 +66,6 @@ def _extract_batches(batches: Iterator[pd.DataFrame], cfg: ExtractionConfig = DE
             out["scores"].append([ln.score for ln in ls])
             out["tags"].append([ln.tag for ln in ls])
             out["dom_orders"].append([ln.order for ln in ls])
-            out["line_texts"].append([ln.text for ln in ls])
         yield pd.DataFrame(out)
 
 
@@ -93,9 +97,12 @@ def extract_docs(
 
 def docs_to_lines(docs: DataFrame) -> DataFrame:
     """Explode the parallel span arrays into the `lines` table
-    (FIXTURES §5 golden_lines shape) — pure relational, no second parse."""
-    z = F.arrays_zip("starts", "ends", "scores", "tags", "dom_orders", "line_texts").alias("z")
-    e = docs.select("url", F.posexplode(z).alias("line_id", "s"))
+    (FIXTURES §5 golden_lines shape) — pure relational, no second
+    parse. line_text is sliced out of the doc text by span offsets
+    (the T5 '\\n'.join contract guarantees text[start:end] IS the
+    line), so the UDF edge never ships duplicate line bytes."""
+    z = F.arrays_zip("starts", "ends", "scores", "tags", "dom_orders").alias("z")
+    e = docs.select("url", "text", F.posexplode(z).alias("line_id", "s"))
     return e.select(
         "url",
         F.col("line_id").cast("int").alias("line_id"),
@@ -104,7 +111,7 @@ def docs_to_lines(docs: DataFrame) -> DataFrame:
         F.col("s.scores").alias("score"),
         F.col("s.tags").alias("tag"),
         F.col("s.dom_orders").alias("dom_order"),
-        F.col("s.line_texts").alias("line_text"),
+        F.expr("substring(text, s.starts + 1, s.ends - s.starts)").alias("line_text"),
     )
 
 
