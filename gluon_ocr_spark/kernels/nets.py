@@ -394,7 +394,12 @@ class AttEncoderNumpy:
         y = y * mask  # broadcast_mul (att_encoder.py:36)
         n, c, h, wd = y.shape
         seq = y.transpose(0, 3, 2, 1).reshape(n, wd, h * c)  # NTC, W is time
-        seq_mask = mask.transpose(0, 1, 3, 2).reshape(n, -1)
+        # per-TIMESTEP mask (n, W): the conv stack collapses H to 2,
+        # so reduce the spatial mask over the height axis (a timestep
+        # is valid if any of its pixels is) — ADVICE r2: the raw
+        # (n, w*h) reshape had 2 entries per timestep and could not
+        # mask the (N, T, ·) sequence the decoder consumes.
+        seq_mask = mask.max(axis=(1, 2))  # (n, 1, h, wd) → (n, wd)
         for layer in ("l0", "l1"):
             fw = lstm_forward(seq, w[f"{layer}_fw_wx"], w[f"{layer}_fw_wh"], w[f"{layer}_fw_b"])
             bw = lstm_forward(seq, w[f"{layer}_bw_wx"], w[f"{layer}_bw_wh"], w[f"{layer}_bw_b"], reverse=True)

@@ -52,9 +52,13 @@ def boxes_to_svg(
         F.lit("</polygon>"),
     )
     per_img = boxes.select(F.col(img_col).alias("img_id"), poly.alias("poly"))
+    # sort_array pins element order: collect_list is nondeterministic
+    # across partitionings, and the sink output must hash stably
+    # run-to-run (ADVICE r2). The rendered polygon string embeds
+    # coords + score, so lexicographic order is a total, stable order.
     return (
         per_img.groupBy("img_id")
-        .agg(F.concat_ws("\n", F.collect_list("poly")).alias("polys"))
+        .agg(F.array_join(F.sort_array(F.collect_list("poly")), "\n").alias("polys"))
         .select(
             "img_id",
             F.concat(

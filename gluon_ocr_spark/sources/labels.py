@@ -5,7 +5,14 @@ the reference's annotation formats.
   CSV line per box — the first 8 fields are the quad coords, the
   REMAINDER rejoined with ',' is the transcription (text may itself
   contain commas), ``###`` or empty text ⇒ ignore, unparseable
-  coordinate lines are dropped.
+  coordinate lines are dropped. DOCUMENTED DEVIATION: lines with
+  fewer than 8 coordinate fields are dropped too, whereas the
+  reference keeps them as short (k,2) polygons with ignore=True —
+  those rows crash the reference's own downstream label generation
+  (make_seg_data.py indexes polygon[3] before consulting the ignore
+  tag), so the reader refuses them instead of replicating a latent
+  crash; the 8-coord row shape also keeps the scan a fixed-width
+  columnar projection.
 * Recognition label lists (``recog_dataset.py:48-70`` ``_get_items``):
   TSV ``img_path\\tlabel`` lines; rows with <2 fields, empty labels,
   ``###`` sentinels, or labels longer than ``max_len`` are dropped.

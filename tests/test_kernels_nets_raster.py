@@ -382,7 +382,10 @@ class TestAttEncoder:
         mask[:, :, :, 5:] = 0  # mask away the right half of the width
         masked, _, seq_mask = enc.forward(x, mask)
         assert not np.array_equal(full, masked)
-        assert seq_mask.sum() == 10  # 2 rows × 5 visible cols
+        # per-TIMESTEP mask: (n, W)=(1, 10), one entry per BiLSTM step
+        assert seq_mask.shape == (1, 10)
+        assert seq_mask.sum() == 5  # 5 visible width steps
+        assert list(seq_mask[0]) == [1, 1, 1, 1, 1, 0, 0, 0, 0, 0]
 
 
 class TestCLRS:
