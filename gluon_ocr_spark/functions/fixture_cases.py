@@ -669,3 +669,43 @@ def compute_losses(i: int) -> dict:
 
 
 FAMILIES["kernel_losses"] = (compute_losses, N_CASES)
+
+
+# -- G4: seeded augmentation pipelines -----------------------------------------
+
+
+def compute_augment(i: int) -> dict:
+    from ..kernels.augment import augment_detect, augment_recog
+
+    rng = _rng("augment", i)
+    h, w = int(rng.integers(24, 48)), int(rng.integers(24, 48))
+    img = rng.integers(0, 256, size=(h, w, 3)).astype(np.uint8)
+    polys = []
+    for _ in range(int(rng.integers(1, 4))):
+        x0, y0 = rng.uniform(2, w * 0.5), rng.uniform(2, h * 0.5)
+        pw, ph = rng.uniform(4, w * 0.4), rng.uniform(4, h * 0.4)
+        polys.append(
+            np.array([[x0, y0], [x0 + pw, y0], [x0 + pw, y0 + ph], [x0, y0 + ph]])
+        )
+    det_img, det_polys, det_applied = augment_detect(
+        img, polys, np.random.default_rng(1000 + int(i))
+    )
+    rec_img, rec_applied = augment_recog(img, np.random.default_rng(2000 + int(i)))
+    # poly digest: weighted coordinate sum is order- AND axis-sensitive
+    pd = sum(
+        float((p * [[1.0, 2.0]]).sum()) * (k + 1)
+        for k, p in enumerate(det_polys)
+    )
+    return {
+        "case_id": int(i),
+        "det_img_sum": int(det_img.astype(np.int64).sum()),
+        "det_h": int(det_img.shape[0]),
+        "det_w": int(det_img.shape[1]),
+        "det_geom_op": int(det_applied["geom_op"]),
+        "det_poly_digest": _r(pd, 4),
+        "rec_img_sum": int(rec_img.astype(np.int64).sum()),
+        "rec_ops": ",".join(str(o) for o in rec_applied["ops"]),
+    }
+
+
+FAMILIES["kernel_augment"] = (compute_augment, N_CASES)

@@ -83,6 +83,10 @@ SCHEMAS = {
     "kernel_image_features": (
         "case_id bigint, decoder string, dhash bigint, gray_mean double, feat_sum double"
     ),
+    "kernel_augment": (
+        "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "
+        "det_geom_op bigint, det_poly_digest double, rec_img_sum bigint, rec_ops string"
+    ),
     "kernel_losses": (
         "case_id bigint, dice double, mask_l1 double, balance_ce double, db double, "
         "east double, iou double, giou double, ciou double, ctc double"
