@@ -558,13 +558,29 @@ def compute_media_decode(i: int) -> dict:
     )
 
     rng = _rng("media", i)
-    fmt = ("png-rgb", "png-gray", "png-rgba", "bmp", "ppm", "wav")[i % 6]
+    fmt = ("png-rgb", "png-gray", "png-rgba", "bmp", "ppm", "wav", "jpeg", "jpeg-gray")[i % 8]
     if fmt == "wav":
         samples = (rng.normal(0, 9000, size=(int(rng.integers(50, 400)), 2))).astype(np.int16)
         payload = encode_wav(samples, rate=16000)
         meta = decode_media(payload)
         checksum = int(np.int64(meta["samples"]).sum())
         w, h, c = meta["sample_rate"], meta["channels"], meta["n_samples"]
+    elif fmt.startswith("jpeg"):
+        from ..kernels.jpeg import encode_jpeg
+
+        hgt = int(rng.integers(4, 40))
+        wid = int(rng.integers(4, 40))
+        # smooth gradient + low noise: representative photographic
+        # content (pure noise is the JPEG worst case, not the target)
+        base = np.linspace(40, 210, wid)[None, :] + np.linspace(0, 30, hgt)[:, None]
+        img = np.clip(base[:, :, None] + rng.normal(0, 6, size=(hgt, wid, 3)), 0, 255).astype(
+            np.uint8
+        )
+        payload = encode_jpeg(img if fmt == "jpeg" else img[:, :, 0], quality=90)
+        meta = decode_media(payload)
+        # lossy: checksum the DECODED pixels (deterministic float math)
+        checksum = int(np.int64(meta["pixels"]).sum())
+        w, h, c = meta["width"], meta["height"], meta["channels"]
     else:
         hgt = int(rng.integers(4, 40))
         wid = int(rng.integers(4, 40))
@@ -602,7 +618,12 @@ def compute_image_features(i: int) -> dict:
     img = rng.integers(0, 256, size=(int(rng.integers(12, 48)), int(rng.integers(12, 48)), 3)).astype(
         np.uint8
     )
-    payload = encode_png(img) if i % 2 == 0 else encode_bmp(img)
+    if i % 3 == 2:
+        from ..kernels.jpeg import encode_jpeg
+
+        payload = encode_jpeg(img, quality=95)
+    else:
+        payload = encode_png(img) if i % 2 == 0 else encode_bmp(img)
     meta = decode_media(payload)
     gray = meta["pixels"][:, :, :3].mean(axis=2)
     grid = bilinear_resize(gray[None, None], 8, 9)[0, 0]

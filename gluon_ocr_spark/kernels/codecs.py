@@ -2,16 +2,18 @@
 
 No cv2/PIL/librosa exist in this container, but several formats need
 nothing beyond the standard library: PNG is zlib + per-row filters,
-BMP (BI_RGB) and PPM (P6) are raw pixel dumps, WAV is RIFF + PCM.
-These decoders replace the round-1 ``fake-deterministic`` stub for
-those formats (JPEG/WebM stay honestly stubbed — entropy coding is out
-of scope); the matching minimal encoders exist so tests and fixture
-generation can synthesize valid payloads without any library.
+BMP (BI_RGB) and PPM (P6) are raw pixel dumps, WAV is RIFF + PCM, and
+baseline JPEG is Huffman + IDCT (:mod:`.jpeg`, added round 3 — the
+dominant crawl format now decodes for REAL). Only WebM/video remains
+honestly stubbed; the matching minimal encoders exist so tests and
+fixture generation can synthesize valid payloads without any library.
 
 Scope: PNG 8-bit gray/RGB/RGBA (color types 0/2/6), non-interlaced —
 the shapes crawled thumbnails actually use; all five PNG row filters
 (None/Sub/Up/Average/Paeth) per the spec. BMP: 24-bit BI_RGB,
-bottom-up. WAV: 16-bit PCM via the stdlib ``wave`` module.
+bottom-up. WAV: 16-bit PCM via the stdlib ``wave`` module. JPEG:
+baseline sequential (SOF0), gray/4:4:4/4:2:2/4:2:0; progressive
+raises so the caller's fallback stays honest.
 """
 
 from __future__ import annotations
@@ -252,6 +254,18 @@ def _decode_media_inner(payload: bytes) -> dict:
             "width": img.shape[1],
             "height": img.shape[0],
             "channels": 3,
+            "pixels": img,
+        }
+    if payload[:2] == b"\xff\xd8":
+        from .jpeg import decode_jpeg
+
+        img = decode_jpeg(payload)
+        return {
+            "kind": "image/jpeg",
+            "decoder": "stdlib-jpeg",
+            "width": img.shape[1],
+            "height": img.shape[0],
+            "channels": img.shape[2],
             "pixels": img,
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":

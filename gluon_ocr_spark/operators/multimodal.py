@@ -3,21 +3,21 @@
 Treats media as opaque ``binary`` columns with typed metadata, exactly
 as the engine treats page payloads.
 
-Since round 2 the decode step is REAL for the formats the standard
-library can handle — PNG (zlib inflate + all five row filters), BMP,
-PPM, 16-bit WAV — via :mod:`..kernels.codecs`; the ``decoder`` output
-column names the codec (``stdlib-png`` …). Entropy-coded formats
-(JPEG/WebM) remain honestly stubbed: ``decode_media`` falls back to
-the clearly-marked deterministic fake (``decoder='fake-deterministic'``,
-dimensions derived from the content digest) and
-``decode_media_strict`` raises ``NotImplementedError`` for them so
-callers can't mistake the fake for a real decode.
+The decode step is REAL for the formats crawl data actually carries —
+PNG (zlib inflate + all five row filters), baseline JPEG (stdlib
+Huffman + IDCT, :mod:`..kernels.jpeg`, round 3), BMP, PPM, 16-bit WAV
+— via :mod:`..kernels.codecs`; the ``decoder`` output column names
+the codec (``stdlib-png``, ``stdlib-jpeg`` …). Formats still without
+a decoder (WebM/video, progressive JPEG) stay honestly stubbed:
+``decode_media`` falls back to the clearly-marked deterministic fake
+(``decoder='fake-deterministic'``, dimensions derived from the
+content digest) and ``decode_media_strict`` raises
+``NotImplementedError`` for them so callers can't mistake the fake
+for a real decode.
 
-On a real cluster, swapping the JPEG branch for a cv2/PIL call is the
-only change; everything else (batch shape, schema, Arrow batching,
-metadata-only shuffle) is already the production path. This mirrors
-how the reference's ``cv2.imdecode`` slots in
-(``gluonocr/data/data_utils.py:123-131``).
+The batch shape, schema, Arrow batching and metadata-only shuffle are
+the production path; this mirrors how the reference's ``cv2.imdecode``
+slots in (``gluonocr/data/data_utils.py:123-131``).
 """
 
 from __future__ import annotations
@@ -61,16 +61,17 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_media_strict(payload: bytes) -> dict:
-    """Real decode: stdlib codecs for PNG/BMP/PPM/WAV; raises for
-    formats needing external libs (JPEG/WebM) — never fakes."""
+    """Real decode: stdlib codecs for PNG/baseline-JPEG/BMP/PPM/WAV;
+    raises for formats still without a decoder (WebM/video,
+    progressive JPEG) — never fakes."""
     from ..kernels.codecs import decode_media as _decode
 
     try:
         return _decode(bytes(payload))
     except ValueError as exc:
         raise NotImplementedError(
-            f"no stdlib decoder for this payload ({exc}); entropy-coded "
-            "formats (JPEG/WebM) need cv2/PIL — plug the codec in here"
+            f"no stdlib decoder for this payload ({exc}); WebM/video "
+            "and progressive JPEG need cv2/PIL — plug the codec in here"
         ) from exc
 
 
