@@ -730,3 +730,40 @@ def compute_augment(i: int) -> dict:
 
 
 FAMILIES["kernel_augment"] = (compute_augment, N_CASES)
+
+
+# -- N9: second backbone shape (MobileNetV3 inverted-residual) -------------------
+
+
+def compute_dbnet_mnv3(i: int, weights_net=None) -> list[dict]:
+    """kernel_dbnet_boxes' sibling with backbone='mnv3': same raster
+    post-process, second backbone dataflow (expand/depthwise/SE)."""
+    from ..kernels.nets import DBNetNumpy
+    from ..kernels.raster import boxes_from_bitmap
+
+    net = weights_net or DBNetNumpy(seed=7, backbone="mnv3")
+    img = _image("dbnet", i)  # SAME inputs as the conv-backbone family
+    out = net.forward(img)
+    prob = out["thresh_binary"][0, 0]
+    thresh = float(np.median(prob))
+    # the seeded MNv3 FPN emits thin stripe blobs (~2px short side);
+    # min_size=2 keeps them so every D1-D8 stage actually runs
+    boxes, scores = boxes_from_bitmap(
+        prob, 64, 64, thresh=thresh, box_thresh=0.0, min_size=2, min_area=20
+    )
+    rows = []
+    for j, (b, s) in enumerate(zip(boxes, scores)):
+        rows.append(
+            {
+                "img_id": int(i),
+                "box_id": j,
+                **{f"c{k}": int(v) for k, v in enumerate(b.reshape(8))},
+                "score": _r(s),
+            }
+        )
+    if not rows:
+        rows.append({"img_id": int(i), "box_id": -1, **{f"c{k}": 0 for k in range(8)}, "score": 0.0})
+    return rows
+
+
+FAMILIES["kernel_dbnet_mnv3"] = (compute_dbnet_mnv3, N_IMAGES)

@@ -101,6 +101,24 @@ def sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def hard_sigmoid(x: np.ndarray) -> np.ndarray:
+    """MobileNetV3 hard sigmoid: relu6(x+3)/6 (mobilenetv3.py:38-59)."""
+    return np.clip(x + 3.0, 0.0, 6.0) / 6.0
+
+
+def hard_swish(x: np.ndarray) -> np.ndarray:
+    return x * hard_sigmoid(x)
+
+
+def depthwise_conv2d(x: np.ndarray, w: np.ndarray, stride: int = 1, pad: int = 0) -> np.ndarray:
+    """Grouped conv with groups == channels; w is (C, 1, kh, kw) —
+    the MNv3 ``num_groups=num_mid`` depthwise (mobilenetv3.py:118-121)."""
+    return np.concatenate(
+        [conv2d(x[:, c : c + 1], w[c : c + 1], stride, pad) for c in range(x.shape[1])],
+        axis=1,
+    )
+
+
 def bilinear_resize(x: np.ndarray, oh: int, ow: int) -> np.ndarray:
     """NCHW bilinear resize, align_corners=True (matches MXNet's
     ``F.contrib.BilinearResize2D(..., mode='like')`` used by the FPN
@@ -162,22 +180,52 @@ def lstm_forward(x: np.ndarray, wx, wh, b, reverse: bool = False) -> np.ndarray:
 class DBNetNumpy:
     """Seeded DBNet-topology forward. Input (N, in_c, H, W) with H, W
     divisible by 32 → dict of maps at input resolution:
-    ``binary``, ``thresh``, ``thresh_binary`` (each (N, 1, H, W))."""
+    ``binary``, ``thresh``, ``thresh_binary`` (each (N, 1, H, W)).
+
+    ``backbone``: ``"conv"`` (plain strided 3×3 stages) or ``"mnv3"``
+    — MobileNetV3 inverted-residual stages per the reference's
+    _ResUnit (mobilenetv3.py:105-141): expand 1×1 → depthwise 3×3
+    stride 2 → squeeze-excite (later stages) → linear project 1×1,
+    relu in the early stages and hard-swish later, matching the zoo's
+    small-config activation split (mobilenetv3.py:155-353). Covers
+    the backbone zoo's second dataflow shape (N9)."""
 
     STAGE_CH = (8, 12, 16, 24)  # /4 /8 /16 /32 feature channels
 
-    def __init__(self, seed: int = 7, in_channels: int = 3, inner: int = 16, k: float = 10.0, adaptive: bool = True):
+    def __init__(
+        self,
+        seed: int = 7,
+        in_channels: int = 3,
+        inner: int = 16,
+        k: float = 10.0,
+        adaptive: bool = True,
+        backbone: str = "conv",
+    ):
         self.k = k
         self.adaptive = adaptive
+        self.backbone = backbone
         rng = np.random.default_rng(seed)
         w: dict[str, np.ndarray] = {}
         prev = in_channels
         # backbone: stem /2 then four strided stages → /4 /8 /16 /32
         w["stem"] = _xavier(rng, (self.STAGE_CH[0], prev, 3, 3))
         prev = self.STAGE_CH[0]
-        for i, ch in enumerate(self.STAGE_CH):
-            w[f"stage{i}"] = _xavier(rng, (ch, prev, 3, 3))
-            prev = ch
+        if backbone == "mnv3":
+            for i, ch in enumerate(self.STAGE_CH):
+                mid = ch * 2  # expansion factor 2 keeps the probe tiny
+                w[f"s{i}_exp"] = _xavier(rng, (mid, prev, 1, 1))
+                w[f"s{i}_dw"] = _xavier(rng, (mid, 1, 3, 3))
+                if i >= 2:  # SE on the deeper stages, ratio 4
+                    w[f"s{i}_se1"] = _xavier(rng, (mid // 4, mid, 1, 1))
+                    w[f"s{i}_se1b"] = np.zeros(mid // 4)
+                    w[f"s{i}_se2"] = _xavier(rng, (mid, mid // 4, 1, 1))
+                    w[f"s{i}_se2b"] = np.zeros(mid)
+                w[f"s{i}_proj"] = _xavier(rng, (ch, mid, 1, 1))
+                prev = ch
+        else:
+            for i, ch in enumerate(self.STAGE_CH):
+                w[f"stage{i}"] = _xavier(rng, (ch, prev, 3, 3))
+                prev = ch
         # ins_proj 1×1 to inner; outs 3×3 to inner//4 (db_net.py:19-21)
         for i, ch in enumerate(self.STAGE_CH):
             w[f"proj{i}"] = _xavier(rng, (inner, ch, 1, 1))
@@ -200,13 +248,31 @@ class DBNetNumpy:
         y = relu(batchnorm(deconv2x2_s2(y, w[f"{name}_d1"]), w[f"{name}_g1"], w[f"{name}_b1"]))
         return sigmoid(deconv2x2_s2(y, w[f"{name}_d2"]))
 
+    def _mnv3_stage(self, y: np.ndarray, i: int) -> np.ndarray:
+        """_ResUnit with stride 2 (no shortcut per mobilenetv3.py:128):
+        expand → depthwise → (SE) → linear project."""
+        w = self.weights
+        act = relu if i < 2 else hard_swish
+        out = act(conv2d(y, w[f"s{i}_exp"]))
+        out = act(depthwise_conv2d(out, w[f"s{i}_dw"], stride=2, pad=1))
+        if f"s{i}_se1" in w:
+            s = out.mean(axis=(2, 3), keepdims=True)  # global pool
+            s = relu(conv2d(s, w[f"s{i}_se1"]) + w[f"s{i}_se1b"][None, :, None, None])
+            s = hard_sigmoid(conv2d(s, w[f"s{i}_se2"]) + w[f"s{i}_se2b"][None, :, None, None])
+            out = out * s
+        return conv2d(out, w[f"s{i}_proj"])  # linear (use_act=False)
+
     def forward(self, x: np.ndarray) -> dict[str, np.ndarray]:
         w = self.weights
         x = np.asarray(x, dtype=np.float64)
         y = relu(conv2d(x, w["stem"], stride=2, pad=1))
         feats = []
         for i in range(4):
-            y = relu(conv2d(y, w[f"stage{i}"], stride=2, pad=1))
+            y = (
+                self._mnv3_stage(y, i)
+                if self.backbone == "mnv3"
+                else relu(conv2d(y, w[f"stage{i}"], stride=2, pad=1))
+            )
             feats.append(y)
         proj = [conv2d(f, w[f"proj{i}"]) for i, f in enumerate(feats)]
         in2, in3, in4, in5 = proj

@@ -83,6 +83,10 @@ SCHEMAS = {
     "kernel_image_features": (
         "case_id bigint, decoder string, dhash bigint, gray_mean double, feat_sum double"
     ),
+    "kernel_dbnet_mnv3": (
+        "img_id bigint, box_id bigint, c0 bigint, c1 bigint, c2 bigint, c3 bigint, "
+        "c4 bigint, c5 bigint, c6 bigint, c7 bigint, score double"
+    ),
     "kernel_augment": (
         "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "
         "det_geom_op bigint, det_poly_digest double, rec_img_sum bigint, rec_ops string"
@@ -103,6 +107,9 @@ _BROADCAST_NETS = {
     "kernel_east_boxes": lambda: __import__(
         "gluon_ocr_spark.kernels.nets", fromlist=["EASTNumpy"]
     ).EASTNumpy(seed=13),
+    "kernel_dbnet_mnv3": lambda: __import__(
+        "gluon_ocr_spark.kernels.nets", fromlist=["DBNetNumpy"]
+    ).DBNetNumpy(seed=7, backbone="mnv3"),
     "kernel_att_pipeline": lambda: __import__(
         "gluon_ocr_spark.kernels.nets", fromlist=["AttEncoderNumpy"]
     ).AttEncoderNumpy(seed=17),

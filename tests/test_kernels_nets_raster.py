@@ -552,3 +552,44 @@ class TestCLRSNet:
         seg = CLRSNumpy(seed=23).forward(x)["seg_maps"][0]
         scores = clrs_scores([[10, 10, 40, 10, 40, 30, 10, 30]], seg)
         assert len(scores) == 1 and 0 <= scores[0] <= 1
+
+
+class TestMNv3Backbone:
+    """N9 second backbone shape: MobileNetV3 inverted-residual stages
+    (mobilenetv3.py:105-141) behind DBNetNumpy."""
+
+    def test_shapes_match_conv_backbone(self):
+        from gluon_ocr_spark.kernels.nets import DBNetNumpy
+
+        x = np.random.default_rng(0).normal(size=(1, 3, 64, 64))
+        conv = DBNetNumpy(seed=7).forward(x)
+        mnv3 = DBNetNumpy(seed=7, backbone="mnv3").forward(x)
+        for k in ("binary", "thresh", "thresh_binary"):
+            assert mnv3[k].shape == conv[k].shape == (1, 1, 64, 64)
+        # different dataflow, different function
+        assert not np.allclose(mnv3["binary"], conv["binary"])
+
+    def test_hard_activations(self):
+        from gluon_ocr_spark.kernels.nets import hard_sigmoid, hard_swish
+
+        x = np.array([-4.0, -3.0, 0.0, 3.0, 6.0])
+        np.testing.assert_allclose(hard_sigmoid(x), [0, 0, 0.5, 1, 1])
+        np.testing.assert_allclose(hard_swish(x), x * hard_sigmoid(x))
+
+    def test_depthwise_groups_are_independent(self):
+        from gluon_ocr_spark.kernels.nets import depthwise_conv2d
+
+        x = np.zeros((1, 2, 6, 6))
+        x[0, 0] = 1.0  # only channel 0 has signal
+        w = np.ones((2, 1, 3, 3))
+        out = depthwise_conv2d(x, w, stride=1, pad=1)
+        assert out[0, 0].max() > 0
+        assert np.all(out[0, 1] == 0)  # channel 1 never sees channel 0
+
+    def test_deterministic_per_seed(self):
+        from gluon_ocr_spark.kernels.nets import DBNetNumpy
+
+        x = np.random.default_rng(1).normal(size=(1, 3, 32, 32))
+        a = DBNetNumpy(seed=9, backbone="mnv3").forward(x)["thresh_binary"]
+        b = DBNetNumpy(seed=9, backbone="mnv3").forward(x)["thresh_binary"]
+        np.testing.assert_array_equal(a, b)
