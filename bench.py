@@ -51,6 +51,8 @@ BENCH_QUERIES = (
     "dedup_minhash_pairs",
     "dedup_shingle_minhash",
     "dedup_simhash_hamming",
+    "dedup_clusters",
+    "text_winnow_pairs",
     "recog_bucket_keys",
     "text_fingerprint",
     "ann_topk",
