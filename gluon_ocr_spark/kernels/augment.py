@@ -47,6 +47,8 @@ __all__ = [
     "fliplr",
     "resize_scale",
     "augment_detect",
+    "augment_mask",
+    "augment_from_config",
     "augment_recog",
 ]
 
@@ -252,6 +254,119 @@ def augment_detect(
         img, polys = geom_group(img, polys)
         img = pixel_group(img)
     return img, polys, applied
+
+
+def _nearest_affine_mask(mask: np.ndarray, inv: np.ndarray) -> np.ndarray:
+    """Resample an integer label mask with the inverse map using
+    NEAREST sampling (bilinear would invent fractional labels — the
+    SegmentationMapsOnImage contract of MaskAugmenter)."""
+    h, w = mask.shape[:2]
+    xs, ys = np.meshgrid(np.arange(w, dtype=np.float64), np.arange(h, dtype=np.float64))
+    sx = np.rint(inv[0, 0] * xs + inv[0, 1] * ys + inv[0, 2]).astype(int)
+    sy = np.rint(inv[1, 0] * xs + inv[1, 1] * ys + inv[1, 2]).astype(int)
+    valid = (sx >= 0) & (sx < w) & (sy >= 0) & (sy < h)
+    out = np.zeros_like(mask)
+    out[valid] = mask[np.clip(sy, 0, h - 1), np.clip(sx, 0, w - 1)][valid]
+    return out
+
+
+def augment_mask(
+    img: np.ndarray, mask: np.ndarray, rng: np.random.Generator
+) -> tuple[np.ndarray, np.ndarray, dict]:
+    """MaskAugmenter (detect_augment.py:10-47): the same default
+    sequence as :func:`augment_detect`, but the paired label is a
+    SEGMENTATION MASK (the gt/thresh maps of G1/G2), moved through
+    the same geometric draw with nearest sampling — pixel ops touch
+    the image only. Returns (img, mask, applied)."""
+    applied: dict = {}
+    h, w = img.shape[:2]
+
+    def pixel_group(im: np.ndarray) -> np.ndarray:
+        chosen = sorted(rng.choice(4, size=3, replace=False).tolist())
+        applied["pixel_ops"] = chosen
+        for op in chosen:
+            if op == 0:
+                im = linear_contrast(im, float(rng.uniform(0.8, 1.2)))
+            elif op == 1:
+                im = multiply_brightness(im, float(rng.uniform(0.8, 1.2)))
+            elif op == 2:
+                im = gaussian_blur(im, float(rng.uniform(0.0, 1.0)))
+            else:
+                im = add_bias(im, float(rng.uniform(-10, 10)))
+        return im
+
+    def geom_group(im: np.ndarray, mk: np.ndarray):
+        op = int(rng.integers(0, 3))
+        applied["geom_op"] = op
+        if op == 0:
+            deg = float(rng.uniform(-10, 10))
+            applied["rotate_deg"] = deg
+            t = np.deg2rad(deg)
+            c, s = np.cos(t), np.sin(t)
+            cx, cy = (w - 1) / 2.0, (h - 1) / 2.0
+            inv = np.array([[c, s, cx - c * cx - s * cy], [-s, c, cy + s * cx - c * cy]])
+            out, _ = affine_rotate(im, [], deg)
+            return out, _nearest_affine_mask(mk, inv)
+        if op == 1:
+            if rng.random() < 0.5:
+                applied["flipped"] = True
+                return im[:, ::-1].copy(), mk[:, ::-1].copy()
+            applied["flipped"] = False
+            return im, mk
+        sc = float(rng.uniform(0.5, 3.0))
+        applied["resize_scale"] = sc
+        out, _ = resize_scale(im, [], sc)
+        nh, nw = out.shape[:2]
+        # nearest resize of the mask to the same canvas
+        yi = np.clip(np.rint(np.arange(nh) * (h - 1) / max(nh - 1, 1)).astype(int), 0, h - 1)
+        xi = np.clip(np.rint(np.arange(nw) * (w - 1) / max(nw - 1, 1)).astype(int), 0, w - 1)
+        return out, mk[yi][:, xi]
+
+    pixel_first = bool(rng.random() < 0.5)
+    applied["pixel_first"] = pixel_first
+    if pixel_first:
+        img = pixel_group(img)
+        img, mask = geom_group(img, mask)
+    else:
+        img, mask = geom_group(img, mask)
+        img = pixel_group(img)
+    return img, mask, applied
+
+
+# op registry for the config-driven constructor (the reference's
+# get_aug_seq accepts [(iaa_name, params)] lists — same surface here,
+# limited to the ops the engine implements)
+_CONFIG_OPS = {
+    "LinearContrast": lambda im, rng, a: linear_contrast(im, _draw(rng, a)),
+    "Multiply": lambda im, rng, a: multiply_brightness(im, _draw(rng, a)),
+    "GaussianBlur": lambda im, rng, a: gaussian_blur(im, _draw(rng, a)),
+    "Add": lambda im, rng, a: add_bias(im, _draw(rng, a)),
+    "Grayscale": lambda im, rng, a: grayscale(im, _draw(rng, a)),
+}
+
+
+def _draw(rng: np.random.Generator, arg) -> float:
+    if isinstance(arg, (tuple, list)):
+        lo, hi = arg
+        return float(rng.uniform(lo, hi))
+    return float(arg)
+
+
+def augment_from_config(
+    img: np.ndarray, configs: list, rng: np.random.Generator
+) -> np.ndarray:
+    """Config-driven pixel sequence (detect_augment.py:22-33 /
+    recog_augment.py:17-28 ``get_aug_seq``): ``configs`` is a list of
+    ``(op_name, param)`` pairs applied in a seeded random order
+    (``random_order=True`` in the reference). Unknown op names raise
+    ValueError — same contract as the reference's getattr(iaa, ...)"""
+    order = rng.permutation(len(configs))
+    for idx in order:
+        name, param = configs[int(idx)]
+        if name not in _CONFIG_OPS:
+            raise ValueError(f"unsupported augmenter {name!r}")
+        img = _CONFIG_OPS[name](img, rng, param)
+    return img
 
 
 def augment_recog(img: np.ndarray, rng: np.random.Generator) -> tuple[np.ndarray, dict]:

@@ -147,3 +147,86 @@ class TestPipelines:
         img = _img()
         outs = {augment_recog(img, np.random.default_rng(s))[0].tobytes() for s in range(6)}
         assert len(outs) > 1
+
+
+class TestMaskAugmenter:
+    """MaskAugmenter class of G4: image + segmentation mask move
+    through the same geometric draw; mask sampled nearest."""
+
+    def test_mask_stays_binary_and_paired_on_flip(self):
+        from gluon_ocr_spark.kernels.augment import augment_mask
+
+        img = _img()
+        mask = np.zeros(img.shape[:2], np.uint8)
+        mask[8:14, 5:20] = 1
+        for seed in range(12):
+            rng = np.random.default_rng(seed)
+            out_img, out_mask, applied = augment_mask(img, mask, rng)
+            assert set(np.unique(out_mask)) <= {0, 1}  # nearest: no new labels
+            assert out_img.shape[:2] == out_mask.shape[:2]  # stay paired
+
+    def test_mask_flip_exact(self):
+        from gluon_ocr_spark.kernels.augment import augment_mask
+
+        img = _img()
+        mask = np.zeros(img.shape[:2], np.uint8)
+        mask[3:6, 0:4] = 1
+        # find a seed that draws the flip branch
+        for seed in range(40):
+            rng = np.random.default_rng(seed)
+            _, out_mask, applied = augment_mask(img, mask, rng)
+            if applied.get("flipped"):
+                assert np.array_equal(out_mask, mask[:, ::-1])
+                return
+        pytest.fail("no flip drawn in 40 seeds")
+
+    def test_mask_area_roughly_preserved_under_rotation(self):
+        from gluon_ocr_spark.kernels.augment import augment_mask
+
+        img = _img(h=48, w=48)
+        mask = np.zeros((48, 48), np.uint8)
+        mask[16:32, 16:32] = 1
+        for seed in range(40):
+            rng = np.random.default_rng(seed)
+            _, out_mask, applied = augment_mask(img, mask, rng)
+            if applied["geom_op"] == 0:
+                # centered square under ±10°: area within 15%
+                assert abs(int(out_mask.sum()) - 256) <= 40
+                return
+        pytest.fail("no rotation drawn")
+
+    def test_mask_deterministic(self):
+        from gluon_ocr_spark.kernels.augment import augment_mask
+
+        img = _img()
+        mask = (np.random.default_rng(3).random(img.shape[:2]) > 0.8).astype(np.uint8)
+        a = augment_mask(img, mask, np.random.default_rng(9))
+        b = augment_mask(img, mask, np.random.default_rng(9))
+        assert np.array_equal(a[0], b[0]) and np.array_equal(a[1], b[1])
+
+
+class TestConfigDriven:
+    def test_config_sequence_applies_all(self):
+        from gluon_ocr_spark.kernels.augment import augment_from_config
+
+        img = _img()
+        out = augment_from_config(
+            img,
+            [("LinearContrast", (0.8, 1.2)), ("Multiply", (0.8, 1.2)), ("Add", (-10, 10))],
+            np.random.default_rng(4),
+        )
+        assert out.shape == img.shape and out.dtype == np.uint8
+        assert not np.array_equal(out, img)
+
+    def test_config_rejects_unknown_op(self):
+        from gluon_ocr_spark.kernels.augment import augment_from_config
+
+        with pytest.raises(ValueError, match="unsupported"):
+            augment_from_config(_img(), [("Fnord", 1)], np.random.default_rng(0))
+
+    def test_config_fixed_scalar_param(self):
+        from gluon_ocr_spark.kernels.augment import augment_from_config, linear_contrast
+
+        img = _img()
+        out = augment_from_config(img, [("LinearContrast", 1.1)], np.random.default_rng(0))
+        assert np.array_equal(out, linear_contrast(img, 1.1))
