@@ -1150,7 +1150,15 @@ def _oracle_dedup_clusters(d: str) -> str:
     """Recursive min-label reachability: a (id, r) row means node r
     reaches node id; pruning r < v keeps only downward label flow
     (the component min still reaches every member), then min(r) per
-    id is the cluster label."""
+    id is the cluster label.
+
+    Oracle-scale note: the reach fixpoint is O(V·E) intermediate rows
+    — fine at the sf0.01 gate (67k pairs / 500 docs, ~30 s), but the
+    synthetic corpus's shared vocabulary makes sf0.1 degenerate
+    (6.46M pairs over 5000 docs, one 4,992-doc near-clique), where
+    this CTE is pathological. The SPARK side is linear per star round
+    and was verified at sf0.1 against an independent union-find:
+    5000/5000 rows exact (NOTES_r3.md)."""
     pairs = sql_dedup_minhash_pairs(d)
     return f"""
     WITH RECURSIVE pairs AS ({pairs}),
