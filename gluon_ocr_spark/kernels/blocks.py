@@ -39,6 +39,7 @@ byte-identical contract needs.
 from __future__ import annotations
 
 from dataclasses import dataclass
+from functools import lru_cache
 
 from .dom import Block
 
@@ -146,8 +147,18 @@ def block_evidence(b: Block) -> str:
     the DOM analog of the probability map being *local*: the
     reference's per-pixel probability reflects the nearest structure,
     not the page average.
+
+    Memoized per chain tuple: sibling blocks share the identical
+    chain object (the parser memoizes ``tuple(self._chain)``), so a
+    page's ~40 blocks resolve evidence through a handful of cache
+    hits instead of re-walking ancestor sets per block.
     """
-    for tag, css in reversed(b.chain):
+    return _chain_evidence(b.chain)
+
+
+@lru_cache(maxsize=4096)
+def _chain_evidence(chain: tuple) -> str:
+    for tag, css in reversed(chain):
         boiler = tag in BOILER_CONTAINERS or bool(css & BOILER_TOKENS)
         content = tag in CONTENT_CONTAINERS or bool(css & CONTENT_TOKENS)
         if boiler and not content:

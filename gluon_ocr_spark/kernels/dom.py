@@ -182,6 +182,7 @@ class _BlockParser:
     def __init__(self) -> None:
         self.blocks: list[Block] = []
         self._chain: list[tuple[str, frozenset[str]]] = []  # open block-level elements
+        self._chain_tuple: tuple | None = ()  # memoized tuple(self._chain)
         self._open_counts: dict[str, int] = {}  # tag → open count (O(1) membership)
         self._skip_depth = 0
         self._link_depth = 0
@@ -198,7 +199,8 @@ class _BlockParser:
             self._link_parts = []
 
     def _flush(self) -> None:
-        self._drain_link()
+        if self._link_parts:
+            self._drain_link()
         if self._cur is not None:
             blk = self._cur.finalize()
             if blk.text:
@@ -210,7 +212,8 @@ class _BlockParser:
         # only when text actually arrives — most boundaries carry none,
         # and the chain cannot change between the boundary and its
         # first text event (any tag event would open a new boundary)
-        self._flush()
+        if self._cur is not None or self._link_parts:  # inline no-op guard
+            self._flush()
         self._cur_tag = tag
 
     # -- scanner hooks ----------------------------------------------
@@ -237,6 +240,7 @@ class _BlockParser:
                 if v:
                     tokens.update(t.lower() for t in v.replace("-", " ").replace("_", " ").split())
         self._chain.append((tag, frozenset(tokens)))
+        self._chain_tuple = None
         self._open_counts[tag] = self._open_counts.get(tag, 0) + 1
         self._open_block(tag)
 
@@ -252,7 +256,8 @@ class _BlockParser:
                 if self._link_depth == 0:
                     self._drain_link()
             return
-        self._flush()
+        if self._cur is not None or self._link_parts:  # inline no-op guard
+            self._flush()
         # pop up to the matching open tag (tolerates misnesting)
         if self._open_counts.get(tag, 0) > 0:
             while self._chain:
@@ -260,6 +265,7 @@ class _BlockParser:
                 self._open_counts[t] -= 1
                 if t == tag:
                     break
+            self._chain_tuple = None
         # text after a closed element belongs to the parent block
         self._cur_tag = self._chain[-1][0] if self._chain else "body"
 
@@ -267,7 +273,10 @@ class _BlockParser:
         if self._skip_depth or not data:
             return
         if self._cur is None:
-            self._cur = Block(order=self._order, tag=self._cur_tag, chain=tuple(self._chain))
+            ct = self._chain_tuple
+            if ct is None:
+                ct = self._chain_tuple = tuple(self._chain)
+            self._cur = Block(order=self._order, tag=self._cur_tag, chain=ct)
             self._order += 1
         self._cur.parts.append(data)
         if self._link_depth:
