@@ -1182,6 +1182,42 @@ def _oracle_dedup_clusters(d: str) -> str:
     """
 
 
+def dedup_clusters_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CC operator composed with the SECOND candidate generator:
+    clusters over the SimHash Hamming≤2 pair graph. Same large-star/
+    small-star kernel, different (sparser) edge distribution — proves
+    the cluster-resolution stage is generator-agnostic."""
+    from .operators.dedup import dedup_clusters, simhash_hamming_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = simhash_hamming_pairs(docs, materialize=True)
+    return dedup_clusters(docs, pairs)
+
+
+def _oracle_dedup_clusters_simhash(d: str) -> str:
+    pairs = sql_dedup_simhash_hamming(d)
+    return f"""
+    WITH RECURSIVE pairs AS ({pairs}),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.u = reach.id
+        WHERE reach.r < e.v
+    ),
+    labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS keep
+    FROM labels
+    """
+
+
 def dedup_simhash_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-operator variant of sql_dedup_simhash_hamming:
     persists the (id, simhash) projection so the md5 token-hash pass
@@ -1200,6 +1236,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_minhash_pairs"] = dedup_minhash_pairs_query
     out["dedup_simhash_hamming"] = dedup_simhash_hamming_query
     out["dedup_clusters"] = dedup_clusters_query
+    out["dedup_clusters_simhash"] = dedup_clusters_simhash_query
     out["text_winnow_pairs"] = text_winnow_pairs_query
     out["events_unpivot"] = events_unpivot_query
     out["extract_roundtrip"] = extract_roundtrip_query
@@ -1220,6 +1257,7 @@ def oracle_sql() -> dict[str, str]:
     out["events_session_window_native"] = _oracle_session_window(DUCK)
     out["events_unpivot"] = _oracle_events_unpivot(DUCK)
     out["dedup_clusters"] = _oracle_dedup_clusters(DUCK)
+    out["dedup_clusters_simhash"] = _oracle_dedup_clusters_simhash(DUCK)
     from .operators.kernel_queries import kernel_oracles
 
     out.update(kernel_oracles())
