@@ -767,3 +767,41 @@ def compute_dbnet_mnv3(i: int, weights_net=None) -> list[dict]:
 
 
 FAMILIES["kernel_dbnet_mnv3"] = (compute_dbnet_mnv3, N_IMAGES)
+
+
+# -- P1/P2/P5: real pixel preprocessing ------------------------------------------
+
+
+def compute_pixels(i: int) -> dict:
+    from ..kernels.codecs import decode_media, encode_png
+    from ..kernels.jpeg import encode_jpeg
+    from ..kernels.pixels import (
+        bgr_to_rgb,
+        gray_to_3ch,
+        preprocess_detect,
+        preprocess_recog,
+        rgb_to_gray,
+    )
+
+    rng = _rng("pixels", i)
+    h, w = int(rng.integers(10, 40)), int(rng.integers(10, 40))
+    base = np.linspace(20, 230, w)[None, :] + np.linspace(0, 25, h)[:, None]
+    img = np.clip(base[:, :, None] + rng.normal(0, 7, (h, w, 3)), 0, 255).astype(np.uint8)
+    payload = encode_png(img) if i % 2 == 0 else encode_jpeg(img, quality=92)
+    pixels = decode_media(payload)["pixels"]
+    det = preprocess_detect(pixels)
+    rec = preprocess_recog(pixels)
+    gray = rgb_to_gray(pixels)
+    return {
+        "case_id": int(i),
+        "src": "png" if i % 2 == 0 else "jpeg",
+        "gray_sum": int(np.int64(gray).sum()),
+        "g3_sum": int(np.int64(gray_to_3ch(gray)).sum()),
+        "bgr_rt": bool(np.array_equal(bgr_to_rgb(bgr_to_rgb(pixels)), pixels)),
+        "det_sum": _r(float(det.sum()), 4),
+        "det_c0_mean": _r(float(det[0].mean()), 6),
+        "rec_sum": _r(float(rec.sum()), 4),
+    }
+
+
+FAMILIES["kernel_pixels"] = (compute_pixels, N_CASES)

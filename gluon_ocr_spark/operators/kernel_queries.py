@@ -87,6 +87,10 @@ SCHEMAS = {
         "img_id bigint, box_id bigint, c0 bigint, c1 bigint, c2 bigint, c3 bigint, "
         "c4 bigint, c5 bigint, c6 bigint, c7 bigint, score double"
     ),
+    "kernel_pixels": (
+        "case_id bigint, src string, gray_sum bigint, g3_sum bigint, "
+        "bgr_rt boolean, det_sum double, det_c0_mean double, rec_sum double"
+    ),
     "kernel_augment": (
         "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "
         "det_geom_op bigint, det_poly_digest double, rec_img_sum bigint, rec_ops string"
