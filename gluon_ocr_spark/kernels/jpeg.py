@@ -181,7 +181,9 @@ def decode_jpeg(data: bytes) -> np.ndarray:
     crawl bytes must never crash an executor with a raw IndexError)."""
     try:
         return _decode_jpeg_inner(data)
-    except (IndexError, struct.error, KeyError) as exc:
+    except (IndexError, struct.error, KeyError, OverflowError) as exc:
+        # OverflowError: bit-flipped DC deltas can run the predictor
+        # past int32 — corrupt data, same contract as truncation
         raise ValueError(f"corrupt JPEG: {type(exc).__name__}: {exc}") from exc
 
 

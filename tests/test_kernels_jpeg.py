@@ -116,3 +116,31 @@ class TestCrossFormatDedup:
 
         meta = decode_media_strict(encode_jpeg(_photo(16, 16), 90))
         assert meta["decoder"] == "stdlib-jpeg"
+
+
+class TestTotalityFuzz:
+    def test_random_junk_never_hangs_or_crashes(self):
+        """Crawl payloads are adversarial: random bytes behind an FFD8
+        magic must produce a clean ValueError or a decoded array —
+        never an unbounded loop or a raw IndexError."""
+        rng = np.random.default_rng(0)
+        for trial in range(200):
+            n = int(rng.integers(4, 400))
+            junk = b"\xff\xd8" + bytes(rng.integers(0, 256, n).tolist())
+            try:
+                out = decode_jpeg(junk)
+                assert isinstance(out, np.ndarray)
+            except ValueError:
+                pass
+
+    def test_bitflipped_valid_jpegs(self):
+        base = bytearray(encode_jpeg(_photo(24, 32), 90))
+        rng = np.random.default_rng(1)
+        for trial in range(60):
+            b = bytearray(base)
+            for _ in range(int(rng.integers(1, 6))):
+                b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
+            try:
+                decode_jpeg(bytes(b))
+            except ValueError:
+                pass
