@@ -107,6 +107,49 @@ def jaccard_verify(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id", text
     return j.where(F.col("jaccard") >= threshold).select("doc_a", "doc_b", F.round("jaccard", 4).alias("jaccard"))
 
 
+def _canon_edges(e: DataFrame) -> DataFrame:
+    """Canonical high→low orientation, self-loops dropped, distinct."""
+    return (
+        e.where(F.col("u") != F.col("v"))
+        .select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+        .distinct()
+    )
+
+
+def _edge_checksum(e: DataFrame) -> tuple[int, int]:
+    """(count, bit_xor of xxhash64) — order-independent, overflow-free
+    (ANSI mode: sum(xxhash64) throws on long overflow)."""
+    row = e.agg(
+        F.count("*").alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + small-star round (Kiveris et al.); input and
+    output are canonical u>v edge sets."""
+    # -- large-star: for each node u, link every LARGER neighbor v
+    #    to m(u) = min(Γ(u) ∪ {u}). Halves tall trees.
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    m_large = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    edges = _canon_edges(
+        sym.join(m_large, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    # -- small-star: for each node u, link u and every SMALLER
+    #    neighbor to m(u) = min(Γ⁻(u) ∪ {u}) (edges are canonical
+    #    u > v, so Γ⁻ is just the v column).
+    m_small = edges.groupBy("u").agg(F.min("v").alias("m"))
+    small = edges.join(m_small, "u")
+    return _canon_edges(
+        small.where(F.col("v") != F.col("m"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(small.select("u", "m"))
+    )
+
+
 def connected_components(
     pairs: DataFrame,
     src: str = "doc_a",
@@ -145,60 +188,84 @@ def connected_components(
       edge collection; rounds are O(log n) by the large/small-star
       potential argument, 3-5 in practice for near-clique dup graphs.
     """
-    from pyspark.sql import Column
-
-    def canon(e: DataFrame) -> DataFrame:
-        # canonical high→low orientation, self-loops dropped
-        return (
-            e.where(F.col("u") != F.col("v"))
-            .select(
-                F.greatest("u", "v").alias("u"),
-                F.least("u", "v").alias("v"),
-            )
-            .distinct()
-        )
-
-    def checksum(e: DataFrame) -> tuple[int, int]:
-        row = e.agg(
-            F.count("*").alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).collect()[0]
-        return int(row["n"]), int(row["h"])
-
-    edges = canon(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+    edges = _canon_edges(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     if checkpoint:
         edges = edges.localCheckpoint(eager=True)
-    prev = checksum(edges)
+    prev = _edge_checksum(edges)
 
     for _ in range(max_iterations):
-        # -- large-star: for each node u, link every LARGER neighbor v
-        #    to m(u) = min(Γ(u) ∪ {u}). Halves tall trees.
-        sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        m_large = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
-        edges = canon(
-            sym.join(m_large, "u")
-            .where(F.col("v") > F.col("u"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        )
-        # -- small-star: for each node u, link u and every SMALLER
-        #    neighbor to m(u) = min(Γ⁻(u) ∪ {u}) (edges are canonical
-        #    u > v, so Γ⁻ is just the v column).
-        m_small = edges.groupBy("u").agg(F.min("v").alias("m"))
-        small = edges.join(m_small, "u")
-        edges = canon(
-            small.where(F.col("v") != F.col("m"))
-            .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .union(small.select("u", "m"))
-        )
+        edges = _star_round(edges)
         if checkpoint:
             edges = edges.localCheckpoint(eager=True)
-        cur = checksum(edges)
+        cur = _edge_checksum(edges)
         if cur == prev:
             break
         prev = cur
 
     # Converged star forest: every non-root points straight at the
     # component min. Roots are the distinct targets.
+    return edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id")).union(
+        edges.select("v", "v").distinct()
+    )
+
+
+def connected_components_resumable(
+    spark,
+    pairs: DataFrame | None,
+    workdir: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iterations: int = 50,
+) -> DataFrame:
+    """:func:`connected_components` with DURABLE per-round snapshots —
+    the iterative-job twin of the extraction pipeline's lineage/resume
+    contract (plans/lineage.py; north-rule "resumable from checkpoint").
+
+    Every round's canonical edge set is written to
+    ``{workdir}/round=NNNN`` as parquet (Spark's ``_SUCCESS`` marker
+    makes the write atomic-at-the-dir level); on start the operator
+    scans for the LATEST complete snapshot and resumes the star
+    iteration from it, so a driver/executor loss mid-CC costs at most
+    one round of recompute instead of the whole job. On a cluster,
+    point ``workdir`` at object storage — every write is a plain
+    parquet commit, no special checkpoint infrastructure.
+
+    ``pairs`` may be None when resuming (round ≥ 0 snapshot exists);
+    passing pairs AND having snapshots resumes from the snapshot (the
+    pair list is only read for round 0).
+    """
+    import os
+
+    def round_dir(k: int) -> str:
+        return os.path.join(workdir, f"round={k:04d}")
+
+    def complete(k: int) -> bool:
+        return os.path.exists(os.path.join(round_dir(k), "_SUCCESS"))
+
+    start = -1
+    k = 0
+    while complete(k):
+        start = k
+        k += 1
+
+    if start < 0:
+        if pairs is None:
+            raise ValueError(f"no snapshot under {workdir} and no pairs given")
+        edges = _canon_edges(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
+        edges.write.mode("overwrite").parquet(round_dir(0))
+        start = 0
+    edges = spark.read.parquet(round_dir(start))
+    prev = _edge_checksum(edges)
+
+    for k in range(start + 1, start + 1 + max_iterations):
+        nxt = _star_round(edges)
+        nxt.write.mode("overwrite").parquet(round_dir(k))
+        edges = spark.read.parquet(round_dir(k))  # durable lineage cut
+        cur = _edge_checksum(edges)
+        if cur == prev:
+            break
+        prev = cur
+
     return edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id")).union(
         edges.select("v", "v").distinct()
     )

@@ -277,3 +277,57 @@ class TestConnectedComponents:
             True, False, False, True, True, False, True,
         ]
         assert rows[1]["cluster_size"] == 3 and rows[4]["cluster_size"] == 1
+
+
+class TestResumableCC:
+    """Durable-snapshot connected components: an interrupted job
+    resumes at its last completed round (the iterative twin of the
+    lineage/resume contract)."""
+
+    def test_matches_in_memory_cc(self, spark, tmp_path):
+        from gluon_ocr_spark.operators.dedup import (
+            connected_components,
+            connected_components_resumable,
+        )
+
+        edges = [(i, i + 1) for i in range(1, 12)] + [(30, 31), (31, 32)]
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+        want = {
+            (r["node"], r["cluster_id"]) for r in connected_components(pairs).collect()
+        }
+        got = {
+            (r["node"], r["cluster_id"])
+            for r in connected_components_resumable(
+                spark, pairs, str(tmp_path / "cc")
+            ).collect()
+        }
+        assert got == want
+
+    def test_resume_after_interrupt(self, spark, tmp_path):
+        from gluon_ocr_spark.operators.dedup import connected_components_resumable
+
+        workdir = str(tmp_path / "cc2")
+        edges = [(i, i + 1) for i in range(1, 16)]  # path: needs >1 round
+        pairs = spark.createDataFrame(edges, "doc_a bigint, doc_b bigint")
+
+        # "crash" after the first round: run with max_iterations=1
+        connected_components_resumable(spark, pairs, workdir, max_iterations=1).collect()
+        import os
+
+        rounds_after_crash = sorted(os.listdir(workdir))
+        assert len(rounds_after_crash) >= 2  # round 0 + at least one star round
+
+        # restart WITHOUT the pair list: resumes from the snapshot
+        labels = {
+            r["node"]: r["cluster_id"]
+            for r in connected_components_resumable(spark, None, workdir).collect()
+        }
+        assert labels == {i: 1 for i in range(1, 17)}
+        # resumed run added rounds, didn't restart from 0
+        assert sorted(os.listdir(workdir))[: len(rounds_after_crash)] == rounds_after_crash
+
+    def test_resume_without_snapshot_or_pairs_raises(self, spark, tmp_path):
+        from gluon_ocr_spark.operators.dedup import connected_components_resumable
+
+        with pytest.raises(ValueError, match="no snapshot"):
+            connected_components_resumable(spark, None, str(tmp_path / "empty"))
