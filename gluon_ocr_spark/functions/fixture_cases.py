@@ -558,7 +558,10 @@ def compute_media_decode(i: int) -> dict:
     )
 
     rng = _rng("media", i)
-    fmt = ("png-rgb", "png-gray", "png-rgba", "bmp", "ppm", "wav", "jpeg", "jpeg-gray")[i % 8]
+    fmt = (
+        "png-rgb", "png-gray", "png-rgba", "bmp", "ppm",
+        "wav", "jpeg", "jpeg-gray", "jpeg-prog", "jpeg-420",
+    )[i % 10]
     if fmt == "wav":
         samples = (rng.normal(0, 9000, size=(int(rng.integers(50, 400)), 2))).astype(np.int16)
         payload = encode_wav(samples, rate=16000)
@@ -566,7 +569,7 @@ def compute_media_decode(i: int) -> dict:
         checksum = int(np.int64(meta["samples"]).sum())
         w, h, c = meta["sample_rate"], meta["channels"], meta["n_samples"]
     elif fmt.startswith("jpeg"):
-        from ..kernels.jpeg import encode_jpeg
+        from ..kernels.jpeg import encode_jpeg, encode_jpeg_progressive
 
         hgt = int(rng.integers(4, 40))
         wid = int(rng.integers(4, 40))
@@ -576,7 +579,12 @@ def compute_media_decode(i: int) -> dict:
         img = np.clip(base[:, :, None] + rng.normal(0, 6, size=(hgt, wid, 3)), 0, 255).astype(
             np.uint8
         )
-        payload = encode_jpeg(img if fmt == "jpeg" else img[:, :, 0], quality=90)
+        if fmt == "jpeg-prog":
+            payload = encode_jpeg_progressive(img, quality=90)
+        elif fmt == "jpeg-420":
+            payload = encode_jpeg(img, quality=90, subsampling="420")
+        else:
+            payload = encode_jpeg(img if fmt == "jpeg" else img[:, :, 0], quality=90)
         meta = decode_media(payload)
         # lossy: checksum the DECODED pixels (deterministic float math)
         checksum = int(np.int64(meta["pixels"]).sum())

@@ -61,12 +61,19 @@ class TestFormat:
         with pytest.raises(ValueError):
             decode_jpeg(b"\x89PNG\r\n\x1a\nnope")
 
-    def test_rejects_progressive_sof2(self):
+    def test_sof2_label_on_sequential_scan_decodes_identically(self):
+        # the unified decoder treats a sequential scan under an SOF2
+        # label as the degenerate progressive case — same pixels
         body = encode_jpeg(_photo(16, 16), 90)
-        # rewrite the SOF0 marker to SOF2 (progressive)
         idx = body.find(b"\xff\xc0")
         hacked = body[:idx] + b"\xff\xc2" + body[idx + 2 :]
-        with pytest.raises(ValueError, match="non-baseline"):
+        assert np.array_equal(decode_jpeg(hacked), decode_jpeg(body))
+
+    def test_rejects_lossless_sof3(self):
+        body = encode_jpeg(_photo(16, 16), 90)
+        idx = body.find(b"\xff\xc0")
+        hacked = body[:idx] + b"\xff\xc3" + body[idx + 2 :]
+        with pytest.raises(ValueError, match="unsupported SOF"):
             decode_jpeg(hacked)
 
     def test_truncated_raises_or_decodes_partially(self):
@@ -142,5 +149,73 @@ class TestTotalityFuzz:
                 b[int(rng.integers(2, len(b)))] = int(rng.integers(0, 256))
             try:
                 decode_jpeg(bytes(b))
+            except ValueError:
+                pass
+
+
+class TestProgressive:
+    """Progressive (SOF2) decode: spectral selection + successive
+    approximation. Oracle: the progressive encoder emits IDENTICAL
+    quantized coefficients to the baseline encoder, so both decodes
+    must agree byte-for-byte — any entropy/band/refinement bug breaks
+    the equality."""
+
+    def test_rgb_444_matches_baseline(self):
+        from gluon_ocr_spark.kernels.jpeg import encode_jpeg_progressive
+
+        img = _photo(40, 56)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, 90)),
+            decode_jpeg(encode_jpeg(img, 90)),
+        )
+
+    def test_rgb_420_and_odd_dims(self):
+        from gluon_ocr_spark.kernels.jpeg import encode_jpeg_progressive
+
+        for h, w in ((17, 23), (33, 47), (16, 16)):
+            img = _photo(h, w, seed=h * w)
+            b = decode_jpeg(encode_jpeg(img, 88, subsampling="420"))
+            p = decode_jpeg(encode_jpeg_progressive(img, 88, subsampling="420"))
+            assert np.array_equal(b, p), (h, w)
+
+    def test_gray_matches(self):
+        from gluon_ocr_spark.kernels.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(3)
+        g = np.clip(np.linspace(0, 255, 21)[None, :] + rng.normal(0, 5, (15, 21)), 0, 255).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(g, 85)), decode_jpeg(encode_jpeg(g, 85))
+        )
+
+    def test_noise_exercises_eob_runs_and_zrl(self):
+        # pure noise maximizes nonzero AC (ZRL paths); flat regions
+        # maximize EOB runs — mix both in one image
+        from gluon_ocr_spark.kernels.jpeg import encode_jpeg_progressive
+
+        rng = np.random.default_rng(9)
+        img = np.full((48, 64, 3), 128, np.uint8)
+        img[:24] = rng.integers(0, 256, (24, 64, 3)).astype(np.uint8)
+        assert np.array_equal(
+            decode_jpeg(encode_jpeg_progressive(img, 75)),
+            decode_jpeg(encode_jpeg(img, 75)),
+        )
+
+    def test_progressive_decode_via_media_dispatch(self):
+        from gluon_ocr_spark.kernels.codecs import decode_media
+        from gluon_ocr_spark.kernels.jpeg import encode_jpeg_progressive
+
+        meta = decode_media(encode_jpeg_progressive(_photo(20, 28), 90))
+        assert meta["decoder"] == "stdlib-jpeg"
+        assert (meta["height"], meta["width"]) == (20, 28)
+
+    def test_truncated_progressive_partial_or_clean_error(self):
+        from gluon_ocr_spark.kernels.jpeg import encode_jpeg_progressive
+
+        body = encode_jpeg_progressive(_photo(24, 24), 90)
+        for frac in (0.2, 0.5, 0.8):
+            cut = body[: int(len(body) * frac)]
+            try:
+                out = decode_jpeg(cut)
+                assert isinstance(out, np.ndarray)  # early scans only: coarse image
             except ValueError:
                 pass
