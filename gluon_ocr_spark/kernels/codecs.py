@@ -3,17 +3,19 @@
 No cv2/PIL/librosa exist in this container, but several formats need
 nothing beyond the standard library: PNG is zlib + per-row filters,
 BMP (BI_RGB) and PPM (P6) are raw pixel dumps, WAV is RIFF + PCM, and
-baseline JPEG is Huffman + IDCT (:mod:`.jpeg`, added round 3 — the
-dominant crawl format now decodes for REAL). Only WebM/video remains
-honestly stubbed; the matching minimal encoders exist so tests and
-fixture generation can synthesize valid payloads without any library.
+JPEG — sequential AND progressive — is Huffman + IDCT (:mod:`.jpeg`,
+round 3: the dominant crawl format, in both its wire flavors, now
+decodes for REAL). Only WebM/video remains honestly stubbed; the
+matching minimal encoders exist so tests and fixture generation can
+synthesize valid payloads without any library.
 
 Scope: PNG 8-bit gray/RGB/RGBA (color types 0/2/6), non-interlaced —
 the shapes crawled thumbnails actually use; all five PNG row filters
 (None/Sub/Up/Average/Paeth) per the spec. BMP: 24-bit BI_RGB,
 bottom-up. WAV: 16-bit PCM via the stdlib ``wave`` module. JPEG:
-baseline sequential (SOF0), gray/4:4:4/4:2:2/4:2:0; progressive
-raises so the caller's fallback stays honest.
+sequential (SOF0/1) and progressive (SOF2, spectral selection +
+successive approximation), gray/4:4:4/4:2:2/4:2:0;
+lossless/arithmetic SOFs raise so the caller's fallback stays honest.
 """
 
 from __future__ import annotations

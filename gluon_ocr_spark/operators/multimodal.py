@@ -4,11 +4,11 @@ Treats media as opaque ``binary`` columns with typed metadata, exactly
 as the engine treats page payloads.
 
 The decode step is REAL for the formats crawl data actually carries —
-PNG (zlib inflate + all five row filters), baseline JPEG (stdlib
-Huffman + IDCT, :mod:`..kernels.jpeg`, round 3), BMP, PPM, 16-bit WAV
-— via :mod:`..kernels.codecs`; the ``decoder`` output column names
-the codec (``stdlib-png``, ``stdlib-jpeg`` …). Formats still without
-a decoder (WebM/video, progressive JPEG) stay honestly stubbed:
+PNG (zlib inflate + all five row filters), JPEG both sequential and
+progressive (stdlib Huffman + IDCT, :mod:`..kernels.jpeg`, round 3),
+BMP, PPM, 16-bit WAV — via :mod:`..kernels.codecs`; the ``decoder``
+output column names the codec (``stdlib-png``, ``stdlib-jpeg`` …).
+Formats still without a decoder (WebM/video) stay honestly stubbed:
 ``decode_media`` falls back to the clearly-marked deterministic fake
 (``decoder='fake-deterministic'``, dimensions derived from the
 content digest) and ``decode_media_strict`` raises
@@ -61,9 +61,9 @@ def _fake_decode(payload: bytes) -> tuple[int, int, int]:
 
 
 def decode_media_strict(payload: bytes) -> dict:
-    """Real decode: stdlib codecs for PNG/baseline-JPEG/BMP/PPM/WAV;
-    raises for formats still without a decoder (WebM/video,
-    progressive JPEG) — never fakes."""
+    """Real decode: stdlib codecs for PNG / JPEG (sequential +
+    progressive) / BMP / PPM / WAV; raises for formats still without
+    a decoder (WebM/video) — never fakes."""
     from ..kernels.codecs import decode_media as _decode
 
     try:
@@ -71,7 +71,7 @@ def decode_media_strict(payload: bytes) -> dict:
     except ValueError as exc:
         raise NotImplementedError(
             f"no stdlib decoder for this payload ({exc}); WebM/video "
-            "and progressive JPEG need cv2/PIL — plug the codec in here"
+            "needs an external codec — plug it in here"
         ) from exc
 
 
