@@ -813,3 +813,62 @@ def compute_pixels(i: int) -> dict:
 
 
 FAMILIES["kernel_pixels"] = (compute_pixels, N_CASES)
+
+
+# -- multimodal audio features ---------------------------------------------------
+
+
+def compute_audio_features(i: int) -> dict:
+    from ..kernels.audio import audio_features
+    from ..kernels.codecs import decode_wav, encode_wav
+
+    rng = _rng("audio", i)
+    rate = 16000
+    n = int(rng.integers(1200, 8000))
+    t = np.arange(n) / rate
+    f0 = float(rng.uniform(80, 3000))
+    sig = 0.5 * np.sin(2 * np.pi * f0 * t) + 0.1 * rng.normal(size=n)
+    samples = np.clip(sig * 12000, -32768, 32767).astype(np.int16)
+    stereo = np.stack([samples, (samples * 0.5).astype(np.int16)], axis=1)
+    rate2, decoded = decode_wav(encode_wav(stereo, rate))
+    f = audio_features(decoded, rate2)
+    return {
+        "case_id": int(i),
+        "n_frames": f["n_frames"],
+        "duration_ms": int(round(f["duration_s"] * 1000)),
+        "rms": _r(f["rms"], 8),
+        "centroid_hz": _r(f["centroid_hz"], 4),
+        "band_sum": _r(float(sum(f["band_log_energy"])), 6),
+    }
+
+
+FAMILIES["kernel_audio_features"] = (compute_audio_features, N_CASES)
+
+
+# -- WebM EBML metadata probe ----------------------------------------------------
+
+
+def compute_webm_probe(i: int) -> dict:
+    from ..kernels.codecs import decode_media, encode_webm_probe_fixture
+
+    rng = _rng("webm", i)
+    w = int(rng.integers(16, 4096))
+    h = int(rng.integers(16, 2160))
+    has_audio = bool(i % 2)
+    sr = int(rng.choice([16000, 44100, 48000])) if has_audio else 0
+    ch = int(rng.integers(1, 3)) if has_audio else 0
+    payload = encode_webm_probe_fixture(w, h, sr, ch)
+    meta = decode_media(payload)
+    return {
+        "case_id": int(i),
+        "decoder": meta["decoder"],
+        "width": int(meta["width"]),
+        "height": int(meta["height"]),
+        "sample_rate": int(meta["sample_rate"]),
+        "channels": int(meta["channels"]),
+        "n_tracks": int(meta["n_tracks"]),
+        "n_bytes": len(payload),
+    }
+
+
+FAMILIES["kernel_webm_probe"] = (compute_webm_probe, N_CASES)

@@ -270,6 +270,19 @@ def _decode_media_inner(payload: bytes) -> dict:
             "channels": img.shape[2],
             "pixels": img,
         }
+    if payload[:4] == _EBML_MAGIC:
+        meta = probe_webm(payload)
+        return {
+            "kind": "video/webm",
+            # REAL container metadata (EBML walk); FRAME decode stays
+            # the honest stub (VP8/VP9 entropy decode is out of scope)
+            "decoder": "stdlib-ebml-probe",
+            "width": meta["width"],
+            "height": meta["height"],
+            "channels": meta["channels"],
+            "sample_rate": meta["sample_rate"],
+            "n_tracks": meta["n_tracks"],
+        }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = decode_wav(payload)
         return {
@@ -281,3 +294,128 @@ def _decode_media_inner(payload: bytes) -> dict:
             "samples": samples,
         }
     raise ValueError("no stdlib decoder for this format")
+
+
+# ---------------------------------------------------------------------------
+# WebM/Matroska EBML metadata probe (round 3)
+# ---------------------------------------------------------------------------
+
+_EBML_MAGIC = b"\x1a\x45\xdf\xa3"
+# element IDs (with length-marker bits, as they appear on the wire)
+_EBML_SEGMENT = 0x18538067
+_EBML_TRACKS = 0x1654AE6B
+_EBML_TRACKENTRY = 0xAE
+_EBML_TRACKTYPE = 0x83
+_EBML_VIDEO = 0xE0
+_EBML_AUDIO = 0xE1
+_EBML_PIXELW = 0xB0
+_EBML_PIXELH = 0xBA
+_EBML_SAMPLEFREQ = 0xB5
+_EBML_CHANNELS = 0x9F
+_RECURSE = {_EBML_SEGMENT, _EBML_TRACKS, _EBML_TRACKENTRY, _EBML_VIDEO, _EBML_AUDIO}
+
+
+def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
+    """EBML variable-length integer at ``pos`` → (value, next_pos).
+    IDs keep the length-marker bit (matching the published ID
+    constants); sizes strip it."""
+    if pos >= len(data):
+        raise ValueError("EBML: truncated vint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("EBML: invalid vint")
+    length = 9 - first.bit_length()  # leading-zero count + 1
+    if pos + length > len(data):
+        raise ValueError("EBML: truncated vint body")
+    v = first if keep_marker else first & (0xFF >> length)
+    for i in range(1, length):
+        v = (v << 8) | data[pos + i]
+    return v, pos + length
+
+
+def probe_webm(data: bytes) -> dict:
+    """Parse EBML element headers for the metadata a training pipeline
+    needs — video PixelWidth/PixelHeight, audio SamplingFrequency/
+    Channels, track count — WITHOUT decoding any frame (VP8/VP9/Opus
+    payloads stay opaque; frame decode remains the honest stub).
+    Walks the element tree with plain vint arithmetic; unknown-size
+    elements (live-muxed segments use size 0x01FF..FF) recurse to the
+    end of the buffer."""
+    if data[:4] != _EBML_MAGIC:
+        raise ValueError("not an EBML/WebM stream")
+    meta = {"n_tracks": 0, "width": 0, "height": 0, "sample_rate": 0, "channels": 0}
+
+    def walk(start: int, end: int) -> None:
+        pos = start
+        while pos < end:
+            eid, pos = _read_vint(data, pos, keep_marker=True)
+            size, pos = _read_vint(data, pos, keep_marker=False)
+            body_end = end if _all_ones_size(data, pos, size) else min(end, pos + size)
+            if eid == _EBML_TRACKENTRY:
+                meta["n_tracks"] += 1
+            if eid in _RECURSE:
+                walk(pos, body_end)
+            elif eid == _EBML_PIXELW:
+                meta["width"] = int.from_bytes(data[pos:body_end], "big")
+            elif eid == _EBML_PIXELH:
+                meta["height"] = int.from_bytes(data[pos:body_end], "big")
+            elif eid == _EBML_CHANNELS:
+                meta["channels"] = int.from_bytes(data[pos:body_end], "big")
+            elif eid == _EBML_SAMPLEFREQ and body_end - pos in (4, 8):
+                fmt = ">f" if body_end - pos == 4 else ">d"
+                meta["sample_rate"] = int(struct.unpack(fmt, data[pos:body_end])[0])
+            pos = body_end
+
+    walk(0, len(data))
+    return meta
+
+
+def _all_ones_size(data: bytes, pos: int, size: int) -> bool:
+    """True when the size vint was the reserved all-ones 'unknown
+    size' value (live streams): the element then runs to the end of
+    the enclosing scope."""
+    # all-ones sizes decode to 2^(7k)-1 for the k-byte form
+    k = 1
+    while k <= 8:
+        if size == (1 << (7 * k)) - 1:
+            return True
+        if size < (1 << (7 * k)):
+            return False
+        k += 1
+    return False
+
+
+def encode_webm_probe_fixture(
+    width: int, height: int, sample_rate: int = 0, channels: int = 0
+) -> bytes:
+    """Minimal EBML document with a video (and optional audio)
+    TrackEntry — enough structure for :func:`probe_webm`; the
+    cluster/frame payload is an opaque filler element."""
+
+    def vint_size(v: int, length: int = 0) -> bytes:
+        length = length or max(1, (v.bit_length() + 6) // 7)
+        marker = 1 << (7 * length + (8 - length) - 7)  # 0x80 >> (length-1) then shifted
+        b = v | (0x80 >> (length - 1)) << (8 * (length - 1))
+        return b.to_bytes(length, "big")
+
+    def elem(eid: int, body: bytes) -> bytes:
+        eid_b = eid.to_bytes((eid.bit_length() + 7) // 8, "big")
+        return eid_b + vint_size(len(body)) + body
+
+    def uint(eid: int, v: int) -> bytes:
+        return elem(eid, v.to_bytes(max(1, (v.bit_length() + 7) // 8), "big"))
+
+    video = elem(_EBML_VIDEO, uint(_EBML_PIXELW, width) + uint(_EBML_PIXELH, height))
+    entry_v = elem(_EBML_TRACKENTRY, uint(_EBML_TRACKTYPE, 1) + video)
+    entries = entry_v
+    if sample_rate:
+        audio = elem(
+            _EBML_AUDIO,
+            elem(_EBML_SAMPLEFREQ, struct.pack(">f", float(sample_rate)))
+            + uint(_EBML_CHANNELS, channels or 1),
+        )
+        entries += elem(_EBML_TRACKENTRY, uint(_EBML_TRACKTYPE, 2) + audio)
+    tracks = elem(_EBML_TRACKS, entries)
+    segment = elem(_EBML_SEGMENT, tracks + elem(0xEC, b"\x00" * 16))  # 0xEC = Void
+    header = elem(0x1A45DFA3, b"")
+    return header + segment

@@ -91,6 +91,14 @@ SCHEMAS = {
         "case_id bigint, src string, gray_sum bigint, g3_sum bigint, "
         "bgr_rt boolean, det_sum double, det_c0_mean double, rec_sum double"
     ),
+    "kernel_audio_features": (
+        "case_id bigint, n_frames bigint, duration_ms bigint, rms double, "
+        "centroid_hz double, band_sum double"
+    ),
+    "kernel_webm_probe": (
+        "case_id bigint, decoder string, width bigint, height bigint, "
+        "sample_rate bigint, channels bigint, n_tracks bigint, n_bytes bigint"
+    ),
     "kernel_augment": (
         "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "
         "det_geom_op bigint, det_poly_digest double, rec_img_sum bigint, rec_ops string"

@@ -6,14 +6,15 @@ as the engine treats page payloads.
 The decode step is REAL for the formats crawl data actually carries —
 PNG (zlib inflate + all five row filters), JPEG both sequential and
 progressive (stdlib Huffman + IDCT, :mod:`..kernels.jpeg`, round 3),
-BMP, PPM, 16-bit WAV — via :mod:`..kernels.codecs`; the ``decoder``
-output column names the codec (``stdlib-png``, ``stdlib-jpeg`` …).
-Formats still without a decoder (WebM/video) stay honestly stubbed:
-``decode_media`` falls back to the clearly-marked deterministic fake
-(``decoder='fake-deterministic'``, dimensions derived from the
-content digest) and ``decode_media_strict`` raises
-``NotImplementedError`` for them so callers can't mistake the fake
-for a real decode.
+BMP, PPM, 16-bit WAV, and WebM container METADATA (EBML element walk,
+``stdlib-ebml-probe`` — track count, pixel dims, sample rate) — via
+:mod:`..kernels.codecs`; the ``decoder`` output column names the
+codec (``stdlib-png``, ``stdlib-jpeg`` …). The one remaining stub is
+video FRAME decode (VP8/VP9 entropy decoding): ``frame_sample``
+digests stay deterministic fakes, clearly marked, and anything with
+no decoder at all falls back to ``decoder='fake-deterministic'``
+with digest-derived dimensions so callers can't mistake it for a
+real decode.
 
 The batch shape, schema, Arrow batching and metadata-only shuffle are
 the production path; this mirrors how the reference's ``cv2.imdecode``
@@ -191,4 +192,50 @@ def image_features(
     return media.select(id_col, payload_col).mapInPandas(
         gen,
         schema="media_id string, dhash bigint, gray_mean double, feature array<double>, decoder string",
+    )
+
+
+def audio_features(
+    media: DataFrame,
+    id_col: str = "media_id",
+    payload_col: str = "payload",
+    n_bands: int = 13,
+) -> DataFrame:
+    """Decode WAV → framed spectral features per clip (the audio
+    analog of :func:`image_features`): frame count, duration, RMS,
+    mean spectral centroid, mel-band log energies (array<double>,
+    pluggable into the ANN/LSH queries like the image features).
+    Non-audio payloads yield NULL feature rows rather than failing
+    the batch; payload bytes never leave the executor."""
+    from ..kernels.audio import audio_features as _feat
+    from ..kernels.codecs import decode_media as _decode
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("media_id", "n_frames", "duration_s", "rms", "centroid_hz", "band_log_energy")}
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["media_id"].append(str(mid))
+                try:
+                    meta = _decode(bytes(payload) if payload is not None else b"")
+                    samples = meta.get("samples")
+                    if samples is None:
+                        raise ValueError("not audio")
+                    f = _feat(samples, meta["sample_rate"], n_bands=n_bands)
+                except ValueError:
+                    for k in ("n_frames", "duration_s", "rms", "centroid_hz", "band_log_energy"):
+                        rows[k].append(None)
+                    continue
+                rows["n_frames"].append(f["n_frames"])
+                rows["duration_s"].append(f["duration_s"])
+                rows["rms"].append(f["rms"])
+                rows["centroid_hz"].append(f["centroid_hz"])
+                rows["band_log_energy"].append(f["band_log_energy"])
+            yield pd.DataFrame(rows)
+
+    return media.select(id_col, payload_col).mapInPandas(
+        gen,
+        schema=(
+            "media_id string, n_frames int, duration_s double, rms double, "
+            "centroid_hz double, band_log_energy array<double>"
+        ),
     )
