@@ -857,7 +857,8 @@ def compute_webm_probe(i: int) -> dict:
     has_audio = bool(i % 2)
     sr = int(rng.choice([16000, 44100, 48000])) if has_audio else 0
     ch = int(rng.integers(1, 3)) if has_audio else 0
-    payload = encode_webm_probe_fixture(w, h, sr, ch)
+    nf = int(rng.integers(0, 90))
+    payload = encode_webm_probe_fixture(w, h, sr, ch, n_frames=nf)
     meta = decode_media(payload)
     return {
         "case_id": int(i),
@@ -867,6 +868,7 @@ def compute_webm_probe(i: int) -> dict:
         "sample_rate": int(meta["sample_rate"]),
         "channels": int(meta["channels"]),
         "n_tracks": int(meta["n_tracks"]),
+        "n_frames": int(meta["n_frames"]),
         "n_bytes": len(payload),
     }
 

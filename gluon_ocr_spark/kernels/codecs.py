@@ -282,6 +282,7 @@ def _decode_media_inner(payload: bytes) -> dict:
             "channels": meta["channels"],
             "sample_rate": meta["sample_rate"],
             "n_tracks": meta["n_tracks"],
+            "n_frames": meta["n_blocks"],  # real block count, not a fake
         }
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         rate, samples = decode_wav(payload)
@@ -312,7 +313,19 @@ _EBML_PIXELW = 0xB0
 _EBML_PIXELH = 0xBA
 _EBML_SAMPLEFREQ = 0xB5
 _EBML_CHANNELS = 0x9F
-_RECURSE = {_EBML_SEGMENT, _EBML_TRACKS, _EBML_TRACKENTRY, _EBML_VIDEO, _EBML_AUDIO}
+_EBML_CLUSTER = 0x1F43B675
+_EBML_SIMPLEBLOCK = 0xA3
+_EBML_BLOCKGROUP = 0xA0
+_EBML_BLOCK = 0xA1
+_RECURSE = {
+    _EBML_SEGMENT,
+    _EBML_TRACKS,
+    _EBML_TRACKENTRY,
+    _EBML_VIDEO,
+    _EBML_AUDIO,
+    _EBML_CLUSTER,
+    _EBML_BLOCKGROUP,
+}
 
 
 def _read_vint(data: bytes, pos: int, keep_marker: bool) -> tuple[int, int]:
@@ -343,7 +356,16 @@ def probe_webm(data: bytes) -> dict:
     end of the buffer."""
     if data[:4] != _EBML_MAGIC:
         raise ValueError("not an EBML/WebM stream")
-    meta = {"n_tracks": 0, "width": 0, "height": 0, "sample_rate": 0, "channels": 0}
+    meta = {
+        "n_tracks": 0,
+        "width": 0,
+        "height": 0,
+        "sample_rate": 0,
+        "channels": 0,
+        "n_blocks": 0,  # SimpleBlock/Block count across all tracks —
+        # the REAL frame count for typical one-frame-per-block muxing
+        # (lacing packs several audio frames per block; video is 1:1)
+    }
 
     def walk(start: int, end: int) -> None:
         pos = start
@@ -355,6 +377,8 @@ def probe_webm(data: bytes) -> dict:
                 meta["n_tracks"] += 1
             if eid in _RECURSE:
                 walk(pos, body_end)
+            elif eid in (_EBML_SIMPLEBLOCK, _EBML_BLOCK):
+                meta["n_blocks"] += 1
             elif eid == _EBML_PIXELW:
                 meta["width"] = int.from_bytes(data[pos:body_end], "big")
             elif eid == _EBML_PIXELH:
@@ -386,11 +410,12 @@ def _all_ones_size(data: bytes, pos: int, size: int) -> bool:
 
 
 def encode_webm_probe_fixture(
-    width: int, height: int, sample_rate: int = 0, channels: int = 0
+    width: int, height: int, sample_rate: int = 0, channels: int = 0, n_frames: int = 0
 ) -> bytes:
     """Minimal EBML document with a video (and optional audio)
-    TrackEntry — enough structure for :func:`probe_webm`; the
-    cluster/frame payload is an opaque filler element."""
+    TrackEntry plus ``n_frames`` SimpleBlocks in a Cluster — enough
+    structure for :func:`probe_webm`; block payloads are opaque
+    filler (a real muxer carries VP8/VP9 frames there)."""
 
     def vint_size(v: int, length: int = 0) -> bytes:
         length = length or max(1, (v.bit_length() + 6) // 7)
@@ -416,6 +441,15 @@ def encode_webm_probe_fixture(
         )
         entries += elem(_EBML_TRACKENTRY, uint(_EBML_TRACKTYPE, 2) + audio)
     tracks = elem(_EBML_TRACKS, entries)
-    segment = elem(_EBML_SEGMENT, tracks + elem(0xEC, b"\x00" * 16))  # 0xEC = Void
+    clusters = b""
+    if n_frames:
+        # SimpleBlock body: track vint (0x81 = track 1), 2-byte
+        # timecode, flags, then the opaque frame payload
+        blocks = b"".join(
+            elem(_EBML_SIMPLEBLOCK, b"\x81" + struct.pack(">hB", i, 0) + b"\x00" * 6)
+            for i in range(n_frames)
+        )
+        clusters = elem(_EBML_CLUSTER, blocks)
+    segment = elem(_EBML_SEGMENT, tracks + clusters + elem(0xEC, b"\x00" * 16))  # 0xEC = Void
     header = elem(0x1A45DFA3, b"")
     return header + segment

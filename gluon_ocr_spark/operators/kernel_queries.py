@@ -97,7 +97,7 @@ SCHEMAS = {
     ),
     "kernel_webm_probe": (
         "case_id bigint, decoder string, width bigint, height bigint, "
-        "sample_rate bigint, channels bigint, n_tracks bigint, n_bytes bigint"
+        "sample_rate bigint, channels bigint, n_tracks bigint, n_frames bigint, n_bytes bigint"
     ),
     "kernel_augment": (
         "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "

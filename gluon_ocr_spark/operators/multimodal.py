@@ -114,22 +114,39 @@ def media_metadata(media: DataFrame, id_col: str = "media_id", payload_col: str 
 
 
 def frame_sample(media: DataFrame, every_n: int = 30, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
-    """Frame-sampling plumbing: one output row per sampled frame with a
-    deterministic frame digest (decode stubbed, batch shape real)."""
+    """Frame sampling: one output row per sampled frame index. For
+    WebM the frame COUNT is real (EBML SimpleBlock walk,
+    :func:`..kernels.codecs.probe_webm`); the frame-content digest
+    stays a deterministic payload hash because VP8/VP9 frame decode
+    is the one remaining stub. Non-EBML payloads fall back to the
+    digest-derived fake count, clearly marked by ``decoder``."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels.codecs import decode_media as _decode
+
         for pdf in batches:
-            ids, frames, digests = [], [], []
+            ids, frames, digests, decoders = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
-                _, _, n_frames = _fake_decode(b)
+                try:
+                    meta = _decode(b)
+                    n_frames = int(meta.get("n_frames", 1))
+                    decoder = meta["decoder"]
+                except ValueError:
+                    _, _, n_frames = _fake_decode(b)
+                    decoder = "fake-deterministic"
                 for i in range(0, n_frames, every_n):
                     ids.append(str(mid))
                     frames.append(i)
                     digests.append(hashlib.sha256(b + i.to_bytes(4, "big")).hexdigest()[:16])
-            yield pd.DataFrame({"media_id": ids, "frame_idx": frames, "frame_digest": digests})
+                    decoders.append(decoder)
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": frames, "frame_digest": digests, "decoder": decoders}
+            )
 
-    return media.select(id_col, payload_col).mapInPandas(gen, schema="media_id string, frame_idx int, frame_digest string")
+    return media.select(id_col, payload_col).mapInPandas(
+        gen, schema="media_id string, frame_idx int, frame_digest string, decoder string"
+    )
 
 
 def image_features(

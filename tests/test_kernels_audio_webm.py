@@ -105,3 +105,20 @@ class TestAudioFeaturesOperator:
         assert abs(got["a"]["centroid_hz"] - 440) < 60
         assert len(got["a"]["band_log_energy"]) == 13
         assert got["b"]["n_frames"] is None
+
+
+class TestWebMFrameCount:
+    def test_block_count_is_real(self):
+        b = encode_webm_probe_fixture(640, 360, n_frames=37)
+        assert probe_webm(b)["n_blocks"] == 37
+        assert decode_media(b)["n_frames"] == 37
+
+    def test_frame_sample_uses_real_webm_count(self, spark):
+        from gluon_ocr_spark.operators.multimodal import frame_sample
+
+        b = encode_webm_probe_fixture(320, 240, n_frames=61)
+        df = spark.createDataFrame([("v1", bytearray(b))], "media_id string, payload binary")
+        rows = frame_sample(df, every_n=10).collect()
+        assert len(rows) == 7  # ceil(61/10)
+        assert all(r["decoder"] == "stdlib-ebml-probe" for r in rows)
+        assert sorted(r["frame_idx"] for r in rows) == [0, 10, 20, 30, 40, 50, 60]
