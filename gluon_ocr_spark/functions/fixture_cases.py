@@ -560,8 +560,8 @@ def compute_media_decode(i: int) -> dict:
     rng = _rng("media", i)
     fmt = (
         "png-rgb", "png-gray", "png-rgba", "bmp", "ppm",
-        "wav", "jpeg", "jpeg-gray", "jpeg-prog", "jpeg-420",
-    )[i % 10]
+        "wav", "jpeg", "jpeg-gray", "jpeg-prog", "jpeg-420", "gif",
+    )[i % 11]
     if fmt == "wav":
         samples = (rng.normal(0, 9000, size=(int(rng.integers(50, 400)), 2))).astype(np.int16)
         payload = encode_wav(samples, rate=16000)
@@ -588,6 +588,18 @@ def compute_media_decode(i: int) -> dict:
         meta = decode_media(payload)
         # lossy: checksum the DECODED pixels (deterministic float math)
         checksum = int(np.int64(meta["pixels"]).sum())
+        w, h, c = meta["width"], meta["height"], meta["channels"]
+    elif fmt == "gif":
+        from ..kernels.gif import encode_gif
+
+        hgt = int(rng.integers(4, 40))
+        wid = int(rng.integers(4, 40))
+        pal = rng.integers(0, 256, size=(int(rng.integers(2, 64)), 3)).astype(np.uint8)
+        img = pal[rng.integers(0, len(pal), size=(hgt, wid))]
+        payload = encode_gif(img)
+        meta = decode_media(payload)
+        assert np.array_equal(meta["pixels"], img)  # lossless
+        checksum = int(np.int64(img).sum())
         w, h, c = meta["width"], meta["height"], meta["channels"]
     else:
         hgt = int(rng.integers(4, 40))

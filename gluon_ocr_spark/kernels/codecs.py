@@ -270,6 +270,18 @@ def _decode_media_inner(payload: bytes) -> dict:
             "channels": img.shape[2],
             "pixels": img,
         }
+    if payload[:4] == b"GIF8":
+        from .gif import decode_gif
+
+        img = decode_gif(payload)
+        return {
+            "kind": "image/gif",
+            "decoder": "stdlib-gif",
+            "width": img.shape[1],
+            "height": img.shape[0],
+            "channels": img.shape[2],
+            "pixels": img,
+        }
     if payload[:4] == _EBML_MAGIC:
         meta = probe_webm(payload)
         return {
