@@ -2,12 +2,14 @@
 
 No cv2/PIL/librosa exist in this container, but several formats need
 nothing beyond the standard library: PNG is zlib + per-row filters,
-BMP (BI_RGB) and PPM (P6) are raw pixel dumps, WAV is RIFF + PCM, and
-JPEG — sequential AND progressive — is Huffman + IDCT (:mod:`.jpeg`,
-round 3: the dominant crawl format, in both its wire flavors, now
-decodes for REAL). Only WebM/video remains honestly stubbed; the
-matching minimal encoders exist so tests and fixture generation can
-synthesize valid payloads without any library.
+BMP (BI_RGB) and PPM (P6) are raw pixel dumps, WAV is RIFF + PCM,
+JPEG — sequential AND progressive — is Huffman + IDCT (:mod:`.jpeg`),
+and GIF is variable-width LZW (:mod:`.gif`) — every common crawl
+image format now decodes for REAL, and WebM containers yield real
+metadata + frame counts via the EBML probe below. Only VP8/VP9 video
+FRAME decode remains honestly stubbed; the matching minimal encoders
+exist so tests and fixture generation can synthesize valid payloads
+without any library.
 
 Scope: PNG 8-bit gray/RGB/RGBA (color types 0/2/6), non-interlaced —
 the shapes crawled thumbnails actually use; all five PNG row filters

@@ -38,6 +38,7 @@ MEDIA_META_SCHEMA = (
 _MAGIC = {
     b"\x89PNG": "image/png",
     b"\xff\xd8\xff": "image/jpeg",
+    b"GIF8": "image/gif",
     b"RIFF": "audio/wav",
     b"\x1a\x45\xdf\xa3": "video/webm",
 }
