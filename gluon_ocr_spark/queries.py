@@ -136,6 +136,98 @@ def sql_text_lang_id(d: str) -> str:
     """
 
 
+def sql_text_repetition(d: str) -> str:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
+    standard pre-training corpus quality rules): fraction of
+    duplicate word-2-grams, the top 2-gram's share, and the
+    consecutive-duplicate-token rate. High values mark boilerplate /
+    spam / degenerate generations; a 100 TB pipeline drops rows on
+    thresholds over exactly these columns. All-integer counts →
+    one deterministic division, exact across engines."""
+    toks = pt.tokens("text", d)
+    if d == SPARK:
+        bg = (
+            "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+            "ELSE array() END"
+        )
+        reps = (
+            "CASE WHEN size(tk) >= 2 THEN size(filter(sequence(1, size(tk) - 1), "
+            "i -> element_at(tk, i) = element_at(tk, i + 1))) ELSE 0 END"
+        )
+        explode = "explode"
+        nd = "size(array_distinct(bg))"
+        nb = "size(bg)"
+    else:
+        bg = (
+            "CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1), "
+            "i -> tk[i] || ' ' || tk[i + 1]) ELSE [] END"
+        )
+        reps = (
+            "CASE WHEN len(tk) >= 2 THEN len(list_filter(generate_series(1, len(tk) - 1), "
+            "i -> tk[i] = tk[i + 1])) ELSE 0 END"
+        )
+        explode = "unnest"
+        nd = "len(list_distinct(bg))"
+        nb = "len(bg)"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    b AS (SELECT doc_id, {bg} AS bg, {reps} AS n_consec FROM t),
+    stats AS (SELECT doc_id, {nb} AS n_bg, {nd} AS nd_bg, n_consec FROM b),
+    e AS (SELECT doc_id, {explode}(bg) AS g FROM b),
+    c AS (SELECT doc_id, g, count(*) AS n FROM e GROUP BY doc_id, g),
+    m AS (SELECT doc_id, max(n) AS top_n FROM c GROUP BY doc_id)
+    SELECT s.doc_id,
+           s.n_bg,
+           round(cast(s.n_bg - s.nd_bg AS double) / s.n_bg, 4) AS dup_bigram_frac,
+           round(cast(m.top_n AS double) / s.n_bg, 4) AS top_bigram_frac,
+           round(cast(s.n_consec AS double) / s.n_bg, 4) AS consec_dup_frac
+    FROM stats s JOIN m ON s.doc_id = m.doc_id
+    WHERE s.n_bg > 0
+    """
+
+
+def sql_text_bigram_rarity(d: str) -> str:
+    """Corpus-conditioned rarity score — the integer-exact stand-in
+    for n-gram-LM perplexity filtering: rank every word 2-gram by
+    corpus frequency (count DESC, gram ASC — total deterministic
+    order), then score each doc by the mean rank of its bigrams.
+    Rare-bigram-heavy docs (typos, gibberish, OCR noise) score high;
+    boilerplate scores low. Two corpus passes: one count/rank
+    aggregate (map-side combinable; the rank table is dimension-sized
+    and broadcastable at 100 TB) and one score join; all arithmetic
+    is integer sums before a single rounded division, so Spark and
+    DuckDB agree bit-for-bit (a float log-prob would diverge in the
+    last ulp between libm implementations)."""
+    toks = pt.tokens("text", d)
+    if d == SPARK:
+        bg = (
+            "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+            "ELSE array() END"
+        )
+        explode = "explode"
+    else:
+        bg = (
+            "CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1), "
+            "i -> tk[i] || ' ' || tk[i + 1]) ELSE [] END"
+        )
+        explode = "unnest"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    b AS (SELECT doc_id, {bg} AS bg FROM t),
+    e AS (SELECT doc_id, {explode}(bg) AS g FROM b),
+    counts AS (SELECT g, count(*) AS n FROM e GROUP BY g),
+    ranks AS (SELECT g, row_number() OVER (ORDER BY n DESC, g) AS r FROM counts)
+    SELECT e.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum(r.r) AS BIGINT) AS rank_sum,
+           round(cast(sum(r.r) AS double) / count(*), 4) AS mean_rank
+    FROM e JOIN ranks r ON e.g = r.g
+    GROUP BY e.doc_id
+    """
+
+
 def sql_text_fingerprint(d: str) -> str:
     """Document fingerprinting: md5 content hash + 16-bit simhash over
     token hashes (near-dup sketch)."""
@@ -958,6 +1050,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_quality": sql_text_quality,
     "text_lang_id": sql_text_lang_id,
     "text_fingerprint": sql_text_fingerprint,
+    "text_repetition": sql_text_repetition,
+    "text_bigram_rarity": sql_text_bigram_rarity,
     "text_winnow": sql_text_winnow,
     "text_winnow_pairs": sql_text_winnow_pairs,
     "dedup_exact": sql_dedup_exact,

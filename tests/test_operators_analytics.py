@@ -331,3 +331,42 @@ class TestResumableCC:
 
         with pytest.raises(ValueError, match="no snapshot"):
             connected_components_resumable(spark, None, str(tmp_path / "empty"))
+
+
+def test_repetition_flags_degenerate_docs(spark, sf_dir):
+    """Gopher-rule sanity: a synthetic degenerate doc scores far above
+    normal corpus docs on every repetition column."""
+    from gluon_ocr_spark.queries import register_views, sql_text_repetition
+    from gluon_ocr_spark.functions.portable import SPARK as SP
+
+    register_views(spark, sf_dir)
+    base = spark.sql(sql_text_repetition(SP))
+    normal_top = base.agg(F.expr("percentile(top_bigram_frac, 0.99)")).collect()[0][0]
+    spam = spark.createDataFrame(
+        [(999999, "buy now " * 200)], "doc_id bigint, text string"
+    )
+    spam.createOrReplaceTempView("documents")
+    row = spark.sql(sql_text_repetition(SP)).collect()[0]
+    assert row["top_bigram_frac"] > 0.4 > normal_top
+    assert row["dup_bigram_frac"] > 0.9
+    register_views(spark, sf_dir)  # restore the real view
+
+
+def test_bigram_rarity_orders_gibberish_above_common(spark, sf_dir):
+    from gluon_ocr_spark.queries import register_views, sql_text_bigram_rarity
+    from gluon_ocr_spark.functions.portable import SPARK as SP
+
+    register_views(spark, sf_dir)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(50)
+    import random
+
+    rnd = random.Random(7)
+    gib = " ".join("".join(rnd.choices("qxzjvw", k=6)) for _ in range(40))
+    aug = docs.select("doc_id", "text").union(
+        spark.createDataFrame([(888888, gib)], "doc_id bigint, text string")
+    )
+    aug.createOrReplaceTempView("documents")
+    rows = {r["doc_id"]: r["mean_rank"] for r in spark.sql(sql_text_bigram_rarity(SP)).collect()}
+    others = [v for k, v in rows.items() if k != 888888]
+    assert rows[888888] > max(others)  # gibberish bigrams rank rarest
+    register_views(spark, sf_dir)
