@@ -886,3 +886,41 @@ def compute_webm_probe(i: int) -> dict:
 
 
 FAMILIES["kernel_webm_probe"] = (compute_webm_probe, N_CASES)
+
+
+# -- C1 pixel form: perspective-warp line cropping -------------------------------
+
+
+def compute_crop_patch(i: int) -> dict:
+    from ..kernels.warp import crop_patch
+
+    rng = _rng("croppatch", i)
+    h, w = int(rng.integers(40, 80)), int(rng.integers(40, 80))
+    base = np.linspace(10, 240, w)[None, :] + np.linspace(0, 30, h)[:, None]
+    img = np.clip(base[:, :, None] + rng.normal(0, 5, (h, w, 3)), 0, 255).astype(np.uint8)
+    mode = i % 3
+    if mode == 0:  # axis-aligned fast path
+        x0, y0 = int(rng.integers(0, w // 2)), int(rng.integers(0, h // 2))
+        bw, bh = int(rng.integers(8, w // 2)), int(rng.integers(6, h // 2))
+        box = [[x0, y0], [x0 + bw, y0], [x0 + bw, y0 + bh], [x0, y0 + bh]]
+    elif mode == 1:  # rotated quad
+        ang = float(rng.uniform(-0.6, 0.6))
+        c, s = np.cos(ang), np.sin(ang)
+        bw, bh = float(rng.uniform(14, 30)), float(rng.uniform(8, 16))
+        cx, cy = w / 2.0, h / 2.0
+        rect = np.array([[-bw / 2, -bh / 2], [bw / 2, -bh / 2], [bw / 2, bh / 2], [-bw / 2, bh / 2]])
+        box = (rect @ np.array([[c, -s], [s, c]]).T + [cx, cy]).tolist()
+    else:  # >4 points → min-rect reduction path
+        pts = rng.uniform([8, 8], [w - 8, h - 8], size=(int(rng.integers(5, 9)), 2))
+        box = pts.tolist()
+    patch = crop_patch(img, box)
+    return {
+        "case_id": int(i),
+        "mode": mode,
+        "ph": int(patch.shape[0]),
+        "pw": int(patch.shape[1]),
+        "pix_sum": int(np.int64(patch).sum()),
+    }
+
+
+FAMILIES["kernel_crop_patch"] = (compute_crop_patch, N_CASES)

@@ -99,6 +99,9 @@ SCHEMAS = {
         "case_id bigint, decoder string, width bigint, height bigint, "
         "sample_rate bigint, channels bigint, n_tracks bigint, n_frames bigint, n_bytes bigint"
     ),
+    "kernel_crop_patch": (
+        "case_id bigint, mode bigint, ph bigint, pw bigint, pix_sum bigint"
+    ),
     "kernel_augment": (
         "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "
         "det_geom_op bigint, det_poly_digest double, rec_img_sum bigint, rec_ops string"
