@@ -954,6 +954,59 @@ def sql_events_asof_signup(d: str) -> str:
     """
 
 
+def sql_events_retention(d: str) -> str:
+    """Cohort retention: users grouped by first-seen day, counted per
+    day-offset they return on — the engagement matrix every event
+    pipeline materializes. Days via INTEGER division of epoch micros
+    (Spark ``div`` / DuckDB ``//``): a float path diverges because
+    DuckDB ROUNDS double→int casts while Spark truncates; timestamps
+    are post-1970 so truncate-vs-floor is moot."""
+    us = _us("ts", d)
+    day = f"({us}) div 86400000000" if d == SPARK else f"({us}) // 86400000000"
+    return f"""
+    WITH ue AS (SELECT user_id, {day} AS day FROM events),
+    first AS (SELECT user_id, min(day) AS cohort_day FROM ue GROUP BY user_id)
+    SELECT f.cohort_day,
+           ue.day - f.cohort_day AS day_offset,
+           count(DISTINCT ue.user_id) AS n_users
+    FROM ue JOIN first f ON ue.user_id = f.user_id
+    GROUP BY f.cohort_day, ue.day - f.cohort_day
+    """
+
+
+def sql_events_funnel(d: str) -> str:
+    """Ordered funnel view → click → purchase: a user advances a
+    stage only with a LATER event of the next type (min-timestamp
+    chaining via conditional aggregation — two shuffles on user_id,
+    no self-joins). Integer microsecond comparisons; counts exact."""
+    us = _us("ts", d)
+    return f"""
+    WITH e AS (SELECT user_id, event_type, {us} AS us FROM events),
+    s1 AS (
+        SELECT user_id, min(CASE WHEN event_type = 'view' THEN us END) AS t_view
+        FROM e GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, s1.t_view,
+               min(CASE WHEN e.event_type = 'click' AND e.us > s1.t_view THEN e.us END) AS t_click
+        FROM e JOIN s1 ON e.user_id = s1.user_id
+        WHERE s1.t_view IS NOT NULL
+        GROUP BY e.user_id, s1.t_view
+    ),
+    s3 AS (
+        SELECT e.user_id, s2.t_view, s2.t_click,
+               min(CASE WHEN e.event_type = 'purchase' AND e.us > s2.t_click THEN e.us END) AS t_buy
+        FROM e JOIN s2 ON e.user_id = s2.user_id
+        WHERE s2.t_click IS NOT NULL
+        GROUP BY e.user_id, s2.t_view, s2.t_click
+    )
+    SELECT
+        (SELECT count(*) FROM s1 WHERE t_view IS NOT NULL) AS n_view,
+        (SELECT count(*) FROM s2 WHERE t_click IS NOT NULL) AS n_view_click,
+        (SELECT count(*) FROM s3 WHERE t_buy IS NOT NULL) AS n_view_click_buy
+    """
+
+
 def sql_events_pivot_types(d: str) -> str:
     """Pivot via portable conditional aggregation: per-user event-type
     count matrix (the unpivot twin is `stack`/UNPIVOT)."""
@@ -1079,6 +1132,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "events_sessionize": sql_events_sessionize,
     "events_asof_signup": sql_events_asof_signup,
     "events_pivot_types": sql_events_pivot_types,
+    "events_retention": sql_events_retention,
+    "events_funnel": sql_events_funnel,
     "events_quantiles": sql_events_quantiles,
     "events_hourly": sql_events_hourly,
     "events_user_daily": sql_events_user_daily,
