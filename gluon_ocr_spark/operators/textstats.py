@@ -80,3 +80,48 @@ def with_lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
     expr = f"array_max(array({', '.join(scored)})).lang"
     return df.withColumn("lang_pred", F.expr(expr))
+
+
+def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. A1.1) as PURE
+    expressions — no explode, no shuffle, so the corpus-prep filter
+    fuses into the same whole-stage-codegen pass as the other gates:
+
+    * ``dup_bigram_frac`` — 1 − distinct/total word-2-grams;
+    * ``consec_dup_frac`` — adjacent-duplicate-token rate.
+
+    (The top-2-gram SHARE needs a per-doc mode and lives in the gated
+    ``text_repetition`` query; the drop decision at corpus scale uses
+    these shuffle-free columns.)"""
+    toks = pt.tokens(text_col, SPARK)
+    bg = (
+        f"CASE WHEN size({toks}) >= 2 THEN transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        "ELSE array() END"
+    )
+    reps = (
+        f"CASE WHEN size({toks}) >= 2 THEN size(filter(sequence(1, size({toks}) - 1), "
+        f"i -> element_at({toks}, i) = element_at({toks}, i + 1))) ELSE 0 END"
+    )
+    return (
+        df.withColumn("__bg", F.expr(bg))
+        .withColumn(
+            "dup_bigram_frac",
+            F.when(
+                F.expr("size(__bg)") > 0,
+                F.round(
+                    F.lit(1.0)
+                    - F.expr("cast(size(array_distinct(__bg)) as double) / size(__bg)"),
+                    4,
+                ),
+            ).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "consec_dup_frac",
+            F.when(
+                F.expr("size(__bg)") > 0,
+                F.round(F.expr(f"cast({reps} as double) / size(__bg)"), 4),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__bg")
+    )

@@ -22,7 +22,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .operators.dedup import drop_exact_dups
 from .operators.extract import extract_docs
-from .operators.textstats import with_fingerprint, with_quality, with_token_stats
+from .operators.textstats import (
+    with_fingerprint,
+    with_quality,
+    with_repetition,
+    with_token_stats,
+)
 
 
 def prepare_corpus(
@@ -32,6 +37,7 @@ def prepare_corpus(
     num_partitions: int | None = None,
     min_tokens: int = 10,
     max_tokens: int = 100_000,
+    max_dup_bigram_frac: float = 0.9,
 ) -> dict:
     """Run the full prep pipeline; returns stage counters.
 
@@ -47,13 +53,20 @@ def prepare_corpus(
 
     docs = extract_docs(pages, num_partitions=num_partitions)
     docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
-    docs = with_fingerprint(with_quality(with_token_stats(docs)))
+    docs = with_repetition(with_fingerprint(with_quality(with_token_stats(docs))))
     qualified = docs.where(
-        (F.col("n_tokens") >= min_tokens) & (F.col("n_tokens") <= max_tokens) & (F.col("n_chars") > 0)
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("n_chars") > 0)
+        # Gopher-rule repetition gate: boilerplate/spam drops here,
+        # before the dedup shuffle ever sees it (pure expressions —
+        # fused into the same codegen stage as the token gates)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
     )
     deduped = drop_exact_dups(qualified, id_col="url", text_col="text")
     keep = deduped.select(
-        "url", "text", "n_lines", "n_chars", "n_tokens", "stop_ratio", "lexical_diversity", "content_fp"
+        "url", "text", "n_lines", "n_chars", "n_tokens", "stop_ratio",
+        "lexical_diversity", "dup_bigram_frac", "consec_dup_frac", "content_fp"
     )
     keep = keep.observe(obs_out, F.count(F.lit(1)).alias("n"))
     keep.write.mode("overwrite").parquet(out_dir)

@@ -370,3 +370,24 @@ def test_bigram_rarity_orders_gibberish_above_common(spark, sf_dir):
     others = [v for k, v in rows.items() if k != 888888]
     assert rows[888888] > max(others)  # gibberish bigrams rank rarest
     register_views(spark, sf_dir)
+
+
+def test_with_repetition_matches_sql_template(spark, docs):
+    """Operator columns agree with the gated SQL template's per-doc
+    dup/consec fractions (the shuffle-free subset)."""
+    from gluon_ocr_spark.operators.textstats import with_repetition
+    from gluon_ocr_spark.queries import sql_text_repetition
+    from gluon_ocr_spark.functions.portable import SPARK as SP
+
+    small = docs.limit(60)
+    op = {
+        r["doc_id"]: (r["dup_bigram_frac"], r["consec_dup_frac"])
+        for r in with_repetition(small).select("doc_id", "dup_bigram_frac", "consec_dup_frac").collect()
+    }
+    small.createOrReplaceTempView("documents")
+    sql = {
+        r["doc_id"]: (r["dup_bigram_frac"], r["consec_dup_frac"])
+        for r in spark.sql(sql_text_repetition(SP)).collect()
+    }
+    for k, v in sql.items():
+        assert op[k] == v, k
