@@ -537,15 +537,25 @@ def _encode_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]
     return {v: (length, code) for (length, code), v in _build_huff(bits, vals).items()}
 
 
-def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") -> bytes:
+def encode_jpeg(
+    arr: np.ndarray,
+    quality: int = 90,
+    subsampling: str = "444",
+    restart_interval: int = 0,
+) -> bytes:
     """(H, W, 3) RGB or (H, W) gray uint8 → baseline JPEG.
     ``subsampling``: '444' (default; byte-stable since round 3) or
     '420' (2×2-averaged chroma, interleaved 6-block MCUs — the shape
     most web JPEGs use; exercises the decoder's multi-block MCU and
-    chroma upsample paths)."""
+    chroma upsample paths). ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every N MCUs with DC-predictor resets —
+    the error-resilience feature real camera/web files carry
+    (exercises the decoder's ``sync_restart`` path)."""
     a = np.asarray(arr, dtype=np.uint8)
     gray = a.ndim == 2 or a.shape[2] == 1
     if subsampling == "420" and not gray:
+        if restart_interval:
+            raise ValueError("restart_interval only wired on the 4:4:4 path")
         return _encode_jpeg_420(a, quality)
     if subsampling not in ("444", "420"):
         raise ValueError(f"unsupported subsampling {subsampling!r}")
@@ -583,14 +593,23 @@ def encode_jpeg(arr: np.ndarray, quality: int = 90, subsampling: str = "444") ->
         b"\xff\xd8"
         + seg(0xDB, dqt)
         + seg(0xC0, sof)
+        + (seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b"")
         + seg(0xC4, dht)
         + seg(0xDA, sos)
     )
 
     wr = _BitWriter()
     pred = [0] * ncomp
+    mcu = 0
+    rst = 0
     for by in range(-(-h // 8)):
         for bx in range(-(-w // 8)):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                wr.flush()  # pad to byte boundary with 1s
+                wr.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = [0] * ncomp  # RSTn resets the DC predictors
+            mcu += 1
             for ci, plane in enumerate(planes):
                 blk = np.full((8, 8), 128.0)
                 ys, xs = min(8, h - by * 8), min(8, w - bx * 8)

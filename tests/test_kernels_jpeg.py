@@ -219,3 +219,19 @@ class TestProgressive:
                 assert isinstance(out, np.ndarray)  # early scans only: coarse image
             except ValueError:
                 pass
+
+
+class TestRestartMarkers:
+    def test_dri_decode_matches_no_dri(self):
+        """RSTn markers change the wire layout, not the coefficients:
+        decode must equal the marker-free encoding exactly."""
+        img = _photo(48, 64, seed=21)
+        plain = decode_jpeg(encode_jpeg(img, 90))
+        for ri in (1, 3, 7):
+            with_rst = decode_jpeg(encode_jpeg(img, 90, restart_interval=ri))
+            assert np.array_equal(with_rst, plain), ri
+
+    def test_dri_stream_contains_markers(self):
+        body = encode_jpeg(_photo(40, 40, seed=22), 90, restart_interval=2)
+        assert b"\xff\xdd" in body  # DRI segment
+        assert any(bytes([0xFF, 0xD0 + i]) in body for i in range(8))
