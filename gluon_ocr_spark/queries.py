@@ -317,6 +317,68 @@ def sql_text_winnow_pairs(d: str) -> str:
     """
 
 
+def sql_sketch_kmv_distinct(d: str) -> str:
+    """K-minimum-values distinct sketch (Bar-Yossef et al.) — the
+    PORTABLE cardinality sketch: both engines ship HLL
+    (approx_count_distinct) but with different internals, so their
+    estimates can never hash-match across engines; KMV over the
+    md5-derived 60-bit hash is pure order statistics and therefore
+    bit-identical. Estimate = (k−1) / (kth_min / P) over the shingle hash space [0, P). One
+    combinable aggregate at any scale (executors keep local k-min
+    heaps; merge keeps the global k smallest). Emitted alongside the
+    exact distinct count so the gate also pins estimator quality."""
+    k = 64
+    explode = "explode" if d == SPARK else "unnest"
+    # 3-gram shingles: the synthetic corpus has only ~31 distinct
+    # TOKENS (estimator would never engage); shingle cardinality is
+    # in the thousands, so the (k−1)/kth-min path actually runs
+    sh = pt.shingle_codes("text", d)
+    return f"""
+    WITH t AS (SELECT {explode}({sh}) AS hv0 FROM documents),
+    h AS (SELECT DISTINCT CAST(hv0 AS BIGINT) AS hv FROM t),
+    ranked AS (SELECT hv, row_number() OVER (ORDER BY hv) AS r FROM h),
+    kth AS (SELECT max(hv) AS kth_min, count(*) AS n_in_k FROM ranked WHERE r <= {k})
+    SELECT {k} AS k,
+           kth.kth_min,
+           (SELECT count(*) FROM h) AS exact_distinct,
+           CASE WHEN kth.n_in_k < {k} THEN kth.n_in_k
+                ELSE CAST(round(({k} - 1) / (cast(kth.kth_min AS double)
+                     / {pt.P}.0)) AS BIGINT) END AS kmv_estimate
+    FROM kth
+    """
+
+
+def sql_corpus_sample_stratified(d: str) -> str:
+    """Deterministic stratified Bernoulli sampling — the training-mix
+    op (e.g. downsample boilerplate-heavy languages): keep a doc iff
+    its md5 hash falls under the PER-LANGUAGE rate threshold. Hash
+    thresholds, not rand(): the sample is reproducible on any
+    executor, any partitioning, any engine — rerunning the job
+    selects the SAME documents (the property that makes epoch mixes
+    auditable). Pure scan + filter: no shuffle at all until the
+    per-lang audit count."""
+    hv = pt.hex15("cast(doc_id as string)", d)
+    # rates over the 60-bit hash space; integer thresholds → exact
+    full = 1 << 60
+    rates = {"en": 0.75, "de": 0.5, "fr": 0.5, "es": 0.25}
+    cases = " ".join(
+        f"WHEN lang = '{lg}' THEN {int(r * full)}" for lg, r in rates.items()
+    )
+    return f"""
+    WITH s AS (
+        SELECT doc_id, lang, {hv} AS hv,
+               CASE {cases} ELSE {int(0.1 * full)} END AS threshold
+        FROM documents
+    )
+    SELECT lang,
+           count(*) AS n_sampled,
+           min(doc_id) AS first_doc,
+           CAST(sum(CASE WHEN hv % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even_hash
+    FROM s WHERE hv < threshold
+    GROUP BY lang
+    """
+
+
 def sql_dedup_exact(d: str) -> str:
     """Exact dedup via content-hash groupBy (map-side combinable; at
     scale this is a single shuffle on the 128-bit hash)."""
@@ -1107,6 +1169,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_bigram_rarity": sql_text_bigram_rarity,
     "text_winnow": sql_text_winnow,
     "text_winnow_pairs": sql_text_winnow_pairs,
+    "sketch_kmv_distinct": sql_sketch_kmv_distinct,
+    "corpus_sample_stratified": sql_corpus_sample_stratified,
     "dedup_exact": sql_dedup_exact,
     "dedup_token_jaccard": sql_dedup_token_jaccard,
     "dedup_minhash_bands": sql_dedup_minhash_bands,

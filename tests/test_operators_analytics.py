@@ -391,3 +391,34 @@ def test_with_repetition_matches_sql_template(spark, docs):
     }
     for k, v in sql.items():
         assert op[k] == v, k
+
+
+def test_kmv_estimate_within_theory(spark, sf_dir):
+    """KMV with k=64 has relative σ ≈ 1/sqrt(k−2) ≈ 12.7%; the
+    estimate must land within 3σ of the exact distinct count."""
+    from gluon_ocr_spark.queries import register_views, sql_sketch_kmv_distinct
+    from gluon_ocr_spark.functions.portable import SPARK as SP
+
+    register_views(spark, sf_dir)
+    r = spark.sql(sql_sketch_kmv_distinct(SP)).collect()[0]
+    assert r["exact_distinct"] > r["k"]  # estimator path engaged
+    rel = abs(r["kmv_estimate"] - r["exact_distinct"]) / r["exact_distinct"]
+    assert rel < 3 * 0.127
+
+
+def test_stratified_sample_deterministic_and_rate_shaped(spark, sf_dir):
+    from gluon_ocr_spark.queries import register_views, sql_corpus_sample_stratified
+    from gluon_ocr_spark.functions.portable import SPARK as SP
+
+    register_views(spark, sf_dir)
+    a = {r["lang"]: r["n_sampled"] for r in spark.sql(sql_corpus_sample_stratified(SP)).collect()}
+    b = {r["lang"]: r["n_sampled"] for r in spark.sql(sql_corpus_sample_stratified(SP)).collect()}
+    assert a == b  # reruns select the same docs
+    totals = {
+        r["lang"]: r["n"]
+        for r in spark.sql("SELECT lang, count(*) n FROM documents GROUP BY lang").collect()
+    }
+    # en keeps ~75%, es ~25% (binomial noise at corpus size)
+    for lang, rate in (("en", 0.75), ("es", 0.25)):
+        if lang in a and totals.get(lang, 0) >= 50:
+            assert abs(a[lang] / totals[lang] - rate) < 0.2, lang
