@@ -1299,6 +1299,118 @@ def dedup_minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_candidate_pairs(docs, materialize=True)
 
 
+def _persisted_codes(spark: SparkSession, sf_dir: str, codes_expr: str, extra: tuple = ()):
+    """(doc_id[, extra…], codes) persisted — the CollapseProject
+    boundary: sketch expressions reference the codes array many times
+    (16 simhash bits, 16 minhash sigs, ~W windows), and without a
+    materialization boundary Catalyst inlines the md5 token pass into
+    every reference — measured 6.7× slower for minhash bands at
+    sf0.1. At lake scale this projection is what you'd write/bucket
+    once anyway."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id", *extra, F.expr(codes_expr).alias("codes")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+
+def text_fingerprint_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator form of sql_text_fingerprint: codes persisted before
+    the 16-bit simhash (16 array references). Same rows as the SQL."""
+    from pyspark.sql import functions as F
+
+    c = _persisted_codes(spark, sf_dir, pt.token_codes("text", SPARK), extra=("text",))
+    return c.select(
+        "doc_id",
+        F.md5(F.lower(F.col("text"))).alias("content_fp"),
+        F.expr(pt.simhash16_expr("codes", SPARK)).alias("simhash16"),
+    )
+
+
+def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator form of sql_dedup_simhash (same boundary)."""
+    from .operators.dedup import simhash_groups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_groups(docs)
+
+
+def dedup_minhash_bands_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator form of sql_dedup_minhash_bands (codes persisted
+    before the 16 signature expressions)."""
+    from .operators.dedup import minhash_bands
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_bands(docs)
+
+
+def dedup_shingle_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator form of sql_dedup_shingle_minhash: ONE persisted
+    shingle-code table feeds the distinct-set projection, all 4 band
+    keys, and both verification join sides — the md5 shingle pass
+    runs once instead of ~18× (16 inlined sigs + 2 join sides)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    c = _persisted_codes(spark, sf_dir, pt.shingle_codes("text", SPARK))
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    structs = ", ".join(
+        f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, SPARK)})"
+        for band in range(n_bands)
+    )
+    bands = c.selectExpr("doc_id", f"inline(array({structs}))")
+    s = c.selectExpr("doc_id", f"{pt.arr_distinct('codes', SPARK)} AS sh").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    v = (
+        cand.join(s.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+        .join(s.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(sh_a, sh_b))"))
+        .withColumn("na", F.expr("size(sh_a)"))
+        .withColumn("nb", F.expr("size(sh_b)"))
+    )
+    return v.where(
+        F.expr("cast(inter as double) / (na + nb - inter)") >= 0.7
+    ).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.expr("cast(inter as double) / (na + nb - inter)"), 4).alias("jaccard"),
+    )
+
+
+def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, fingerprint) winnow selection with the codes boundary
+    (the sliding-window transform references codes per window; inlined
+    it re-runs the md5 pass per window — quadratic in doc length)."""
+    c = _persisted_codes(spark, sf_dir, pt.token_codes("text", SPARK))
+    w = 4
+    windows = (
+        f"transform(sequence(1, greatest(size(codes) - {w - 1}, 1)), "
+        f"i -> array_min(slice(codes, i, {w})))"
+    )
+    return c.selectExpr("doc_id", f"{windows} AS fps").selectExpr(
+        "doc_id", "explode(fps) AS fingerprint"
+    ).distinct()
+
+
+def text_winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator form of sql_text_winnow. Same rows as the SQL."""
+    return _winnow_fps(spark, sf_dir)
+
+
 def text_winnow_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator variant of sql_text_winnow_pairs: persists the CAPPED
     fingerprint table once, so the winnow selection (the expensive
@@ -1310,7 +1422,7 @@ def text_winnow_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir)
     cap = 20
-    fps = spark.sql(sql_text_winnow(SPARK))
+    fps = _winnow_fps(spark, sf_dir)
 
     capped = (
         fps.withColumn("df", F.count("*").over(Window.partitionBy("fingerprint")))
@@ -1451,6 +1563,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_clusters"] = dedup_clusters_query
     out["dedup_clusters_simhash"] = dedup_clusters_simhash_query
     out["text_winnow_pairs"] = text_winnow_pairs_query
+    # operator overrides of md5-heavy SQL templates: same rows, but a
+    # persisted codes projection stops CollapseProject from inlining
+    # the hash pass into every sketch expression (6.7× at sf0.1)
+    out["text_fingerprint"] = text_fingerprint_query
+    out["text_winnow"] = text_winnow_query
+    out["dedup_minhash_bands"] = dedup_minhash_bands_query
+    out["dedup_shingle_minhash"] = dedup_shingle_minhash_query
+    out["dedup_simhash"] = dedup_simhash_query
     out["events_unpivot"] = events_unpivot_query
     out["extract_roundtrip"] = extract_roundtrip_query
     out["extract_lines"] = extract_lines_query
