@@ -924,3 +924,81 @@ def compute_crop_patch(i: int) -> dict:
 
 
 FAMILIES["kernel_crop_patch"] = (compute_crop_patch, N_CASES)
+
+
+# -- PDF leg: text extraction through a real PDF byte stream --------------------
+
+_PDF_WORDS = [
+    "spark", "shuffle", "filter", "join", "window", "batch", "stream",
+    "(paren)", "back\\slash", "q.e.d", "a+b=c", "k-means", "100%",
+]
+_PDF_UNI_WORDS = ["héllo", "wörld", "中文文本", "тест", "naïve", "—dash—", "αβγ"]
+
+
+def compute_pdf_extract(i: int) -> list[dict]:
+    """Round-trip deterministic text through :func:`encode_pdf` →
+    :func:`pdf_text_lines`, exercising every parser surface on a cycle:
+    content-op variants (Td/Tm/TJ-kern/'/hex), Flate on/off, classic
+    xref vs xref streams (± PNG predictor), ObjStm packing, and the
+    Type0/Identity-H + ToUnicode unicode path. The compute asserts the
+    text round-trips exactly, then emits the parsed line geometry —
+    so the driver gate pins BOTH the byte-level codec and the reading-
+    order assembly under distributed execution."""
+    from ..kernels.pdf import encode_pdf, pdf_text_lines
+
+    rng = _rng("pdf", i)
+    variant_kw = [
+        {"variant": "td"},
+        {"variant": "td", "compress": False},
+        {"variant": "tm"},
+        {"variant": "tjarr"},
+        {"variant": "td", "hex_strings": True},
+        {"variant": "quote"},
+        {"variant": "tm", "xref_stream": True},
+        {"variant": "td", "xref_stream": True, "objstm": True, "predictor": True},
+        {"variant": "td", "unicode_font": True},
+        {"variant": "tjarr", "unicode_font": True, "xref_stream": True, "objstm": True},
+    ][i % 10]
+    words = _PDF_UNI_WORDS if variant_kw.get("unicode_font") else _PDF_WORDS
+    n_pages = 1 + (1 if i % 3 == 0 else 0)
+    pages: list[list[tuple[float, float, float, str]]] = []
+    expected: list[str] = []
+    for _p in range(n_pages):
+        n_lines = int(rng.integers(2, 6))
+        size = float([8, 10, 12][int(rng.integers(0, 3))])
+        x = 72.0 + float(int(rng.integers(0, 4)) * 10)
+        runs = []
+        for k in range(n_lines):
+            text = " ".join(
+                words[int(j)] for j in rng.integers(0, len(words), size=int(rng.integers(2, 6)))
+            )
+            runs.append((x, 700.0 - 20.0 * k, size, text))
+            expected.append(text)
+        pages.append(runs)
+    payload = encode_pdf(pages, **variant_kw)
+    lines = pdf_text_lines(payload)
+    got = "\n".join(ln.text for ln in lines)
+    if got != "\n".join(expected):
+        raise AssertionError(f"pdf roundtrip drift (case {i}): {got!r}")
+    variant_tag = "+".join(
+        [variant_kw["variant"]]
+        + sorted(k for k, v in variant_kw.items() if k != "variant" and v)
+    )
+    return [
+        {
+            "case_id": int(i),
+            "variant": variant_tag,
+            "n_bytes": len(payload),
+            "page": int(ln.page),
+            "line_id": int(k),
+            "x": _r(ln.x, 6),
+            "y": _r(ln.y, 6),
+            "size": _r(ln.size, 6),
+            "text": ln.text,
+            "n_chars": len(ln.text),
+        }
+        for k, ln in enumerate(lines)
+    ]
+
+
+FAMILIES["kernel_pdf_extract"] = (compute_pdf_extract, N_CASES)

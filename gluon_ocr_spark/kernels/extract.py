@@ -43,7 +43,14 @@ class ExtractResult:
 
 def extract_document(html: bytes | str, cfg: ExtractionConfig = DEFAULT_CONFIG) -> ExtractResult:
     """Extract the main content of one page. Total: never raises on
-    arbitrary crawl bytes; empty input → empty result."""
+    arbitrary crawl bytes; empty input → empty result.
+
+    Payload sniff: ``%PDF-`` within the first 1 KiB routes to the PDF
+    leg (:mod:`.pdf` — the north rule's "PDF/layout parse"); everything
+    else takes the HTML/DOM leg. Both legs share the same T5 doc
+    assembly contract, so downstream operators never branch."""
+    if isinstance(html, (bytes, bytearray, memoryview)) and b"%PDF-" in bytes(html[:1024]):
+        return _extract_pdf(bytes(html))
     blocks = parse_blocks(html)
     regions = detect_regions(blocks, cfg)
 
@@ -78,3 +85,31 @@ def _f32(x: float) -> float:
     import struct
 
     return struct.unpack("f", struct.pack("f", x))[0]
+
+
+def _extract_pdf(payload: bytes) -> ExtractResult:
+    """PDF leg: text runs → baseline lines → the same Line/ExtractResult
+    contract as the HTML leg. ``tag`` is ``"pdf"``; ``order`` is the
+    reading-order index (PDF lines arrive already ordered by
+    :func:`gluon_ocr_spark.kernels.pdf.assemble_lines`); ``score`` is
+    1.0 — PDF text is declared, not detected, so there is no detection
+    confidence to carry. Total: a damaged document yields the lines of
+    its parseable pages, a hopeless one yields the empty result."""
+    import zlib
+
+    from .pdf import pdf_text_lines
+
+    try:
+        pdf_lines = pdf_text_lines(payload)
+    except (ValueError, TypeError, KeyError, RecursionError, zlib.error):
+        return ExtractResult(text="", lines=[])
+    lines: list[Line] = []
+    offset = 0
+    for i, pl in enumerate(pdf_lines):
+        start = offset
+        end = start + len(pl.text)
+        lines.append(
+            Line(line_id=i, start=start, end=end, score=1.0, tag="pdf", order=i, text=pl.text)
+        )
+        offset = end + 1
+    return ExtractResult(text="\n".join(ln.text for ln in lines), lines=lines)

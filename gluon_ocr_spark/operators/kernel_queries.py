@@ -106,6 +106,10 @@ SCHEMAS = {
         "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "
         "det_geom_op bigint, det_poly_digest double, rec_img_sum bigint, rec_ops string"
     ),
+    "kernel_pdf_extract": (
+        "case_id bigint, variant string, n_bytes bigint, page bigint, line_id bigint, "
+        "x double, y double, size double, text string, n_chars bigint"
+    ),
     "kernel_losses": (
         "case_id bigint, dice double, mask_l1 double, balance_ce double, db double, "
         "east double, iou double, giou double, ciou double, ctc double"

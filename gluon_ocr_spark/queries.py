@@ -1269,6 +1269,30 @@ def extract_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def extract_pdf_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PDF leg of the north rule's extraction contract, corpus-
+    scale: wrap each document's text into a REAL PDF byte stream
+    (variant cycling over classic-xref/Tm/TJ-kern/ObjStm files, see
+    :func:`gluon_ocr_spark.sources.pages.wrap_text_as_pdf`), run the
+    SAME distributed extraction operator as the HTML leg (the payload
+    sniff routes per row), emit (doc_id, text). Oracle:
+    ``SELECT doc_id, text FROM documents`` — extraction must invert
+    PDF synthesis byte-identically, like extract_roundtrip does for
+    HTML chrome."""
+    from pyspark.sql import functions as F
+
+    from .operators.extract import extract_docs
+    from .sources.pages import wrap_documents_pdf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pages = wrap_documents_pdf(docs)
+    extracted = extract_docs(pages)
+    return extracted.select(
+        F.split_part(F.col("url"), F.lit("doc://"), F.lit(-1)).cast("bigint").alias("doc_id"),
+        F.col("text"),
+    )
+
+
 def _oracle_extract_lines(d: str) -> str:
     return """
     SELECT doc_id, 0 AS line_id, 0 AS start, length(text) AS "end", text AS line_text
@@ -1543,6 +1567,49 @@ def _oracle_dedup_clusters_simhash(d: str) -> str:
     """
 
 
+def dedup_clusters_winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CC operator composed with the THIRD candidate generator:
+    clusters over the winnowing shared-fingerprint pair graph
+    (containment ≥ 0.5 — winnow pairs carry a containment score, so
+    the edge set is the *verified* subset, unlike the raw band-bucket
+    generators). Same large-star/small-star kernel; proves the
+    cluster-resolution stage composes with a scored pair source, the
+    shape a production near-dup pipeline actually feeds it."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import dedup_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = text_winnow_pairs_query(spark, sf_dir).where(F.col("containment") >= 0.5)
+    return dedup_clusters(docs, pairs)
+
+
+def _oracle_dedup_clusters_winnow(d: str) -> str:
+    pairs = sql_text_winnow_pairs(d)
+    return f"""
+    WITH RECURSIVE pairs AS (
+        SELECT * FROM ({pairs}) t WHERE containment >= 0.5
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.v AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.u = reach.id
+        WHERE reach.r < e.v
+    ),
+    labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT doc_id, cluster_id,
+           count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+           doc_id = cluster_id AS keep
+    FROM labels
+    """
+
+
 def dedup_simhash_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DataFrame-operator variant of sql_dedup_simhash_hamming:
     persists the (id, simhash) projection so the md5 token-hash pass
@@ -1562,6 +1629,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash_hamming"] = dedup_simhash_hamming_query
     out["dedup_clusters"] = dedup_clusters_query
     out["dedup_clusters_simhash"] = dedup_clusters_simhash_query
+    out["dedup_clusters_winnow"] = dedup_clusters_winnow_query
     out["text_winnow_pairs"] = text_winnow_pairs_query
     # operator overrides of md5-heavy SQL templates: same rows, but a
     # persisted codes projection stops CollapseProject from inlining
@@ -1573,6 +1641,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_simhash"] = dedup_simhash_query
     out["events_unpivot"] = events_unpivot_query
     out["extract_roundtrip"] = extract_roundtrip_query
+    out["extract_pdf_roundtrip"] = extract_pdf_roundtrip_query
     out["extract_lines"] = extract_lines_query
     out["extract_stats"] = extract_stats_query
     out["events_session_window_native"] = events_session_window_native
@@ -1585,12 +1654,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     out = {name: tmpl(DUCK) for name, tmpl in SQL_QUERIES.items()}
     out["extract_roundtrip"] = "SELECT doc_id, text FROM documents"
+    out["extract_pdf_roundtrip"] = "SELECT doc_id, text FROM documents"
     out["extract_lines"] = _oracle_extract_lines(DUCK)
     out["extract_stats"] = _oracle_extract_stats(DUCK)
     out["events_session_window_native"] = _oracle_session_window(DUCK)
     out["events_unpivot"] = _oracle_events_unpivot(DUCK)
     out["dedup_clusters"] = _oracle_dedup_clusters(DUCK)
     out["dedup_clusters_simhash"] = _oracle_dedup_clusters_simhash(DUCK)
+    out["dedup_clusters_winnow"] = _oracle_dedup_clusters_winnow(DUCK)
     from .operators.kernel_queries import kernel_oracles
 
     out.update(kernel_oracles())

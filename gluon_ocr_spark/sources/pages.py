@@ -239,3 +239,44 @@ def wrap_documents(docs, id_col: str = "doc_id", text_col: str = "text"):
             )
 
     return docs.select(id_col, text_col).mapInPandas(gen, schema="doc_id bigint, url string, html binary")
+
+
+def wrap_text_as_pdf(doc_id: int, text: str) -> bytes:
+    """Embed a known text into a real PDF byte stream, deterministically
+    from doc_id — the PDF twin of :func:`wrap_text_as_page` for the
+    north rule's "PDF/layout parse" leg. The encoder variant cycles on
+    doc_id so the corpus-level gate exercises classic xref, Tm
+    positioning, TJ kern-gap word spacing, and xref-stream + ObjStm
+    files in one query. Extraction must recover ``text``
+    byte-identically (ASCII corpus; single-spaced — the TJ variant
+    re-derives word gaps through the documented 0.18-em gap rule)."""
+    from ..kernels.pdf import encode_pdf
+
+    variant_kw = [
+        {"variant": "td"},
+        {"variant": "tm"},
+        {"variant": "tjarr"},
+        {"variant": "td", "xref_stream": True, "objstm": True},
+    ][doc_id % 4]
+    runs = [(72.0, 700.0, 10.0, text)]
+    return encode_pdf([runs], **variant_kw)
+
+
+def wrap_documents_pdf(docs, id_col: str = "doc_id", text_col: str = "text"):
+    """documents(doc_id, text, …) → pages(doc_id, url, html) with PDF
+    payloads; Arrow-batched like :func:`wrap_documents`."""
+    import pandas as pd
+
+    def gen(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "url": [f"doc://{i}" for i in pdf[id_col]],
+                    "html": [
+                        wrap_text_as_pdf(int(i), t) for i, t in zip(pdf[id_col], pdf[text_col])
+                    ],
+                }
+            )
+
+    return docs.select(id_col, text_col).mapInPandas(gen, schema="doc_id bigint, url string, html binary")

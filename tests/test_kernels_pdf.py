@@ -1,0 +1,414 @@
+"""PDF text-extraction kernel: parser hardening paths the fixture
+family doesn't reach (damaged xref, incremental updates, exotic
+filters, escapes, layout rules, Form XObjects, fuzz totality)."""
+
+import random
+import zlib
+
+import pytest
+
+from gluon_ocr_spark.kernels.pdf import (
+    PdfDocument,
+    TextRun,
+    _ascii85_decode,
+    _ascii_hex_decode,
+    _lzw_decode,
+    _Parser,
+    _png_unpredict,
+    _rle_decode,
+    assemble_lines,
+    encode_pdf,
+    pdf_extract_text,
+    pdf_text_lines,
+)
+
+PAGES = [
+    [(72, 700, 12, "first line of page one"), (72, 680, 12, "second line")],
+    [(72, 700, 10, "page two")],
+]
+EXPECTED = "first line of page one\nsecond line\npage two"
+
+
+# ---------------------------------------------------------------------------
+# object syntax
+# ---------------------------------------------------------------------------
+
+
+def test_literal_string_escapes():
+    p = _Parser(rb"(a\(b\)c \\ \n\t \101 \53 nest(ed) end)")
+    assert p.parse_object() == b"a(b)c \\ \n\t A + nest(ed) end"
+
+
+def test_literal_string_line_continuation_and_crlf():
+    # \<CRLF> vanishes; bare CR and CRLF inside a string both read as LF
+    p = _Parser(b"(ab\\\r\ncd\ref\r\ngh)")
+    assert p.parse_object() == b"abcd\nef\ngh"
+
+
+def test_hex_string_odd_padding_and_ws():
+    p = _Parser(b"<48 65 6C6C 6F2>")
+    assert p.parse_object() == b"Hello "
+
+
+def test_name_hash_escape():
+    p = _Parser(b"/A#20B#2FC")
+    assert str(p.parse_object()) == "A B/C"
+
+
+def test_ref_vs_numbers():
+    p = _Parser(b"[1 2 R 3 4 5 R 6.5 7]")
+    arr = p.parse_object()
+    assert arr[0].num == 1 and arr[0].gen == 2
+    assert arr[1] == 3
+    assert arr[2].num == 4 and arr[2].gen == 5
+    assert arr[3] == 6.5 and arr[4] == 7
+
+
+def test_comment_skipped():
+    p = _Parser(b"% a comment\n42")
+    assert p.parse_object() == 42
+
+
+# ---------------------------------------------------------------------------
+# filters
+# ---------------------------------------------------------------------------
+
+
+def test_ascii_hex_decode():
+    assert _ascii_hex_decode(b"48656C6C6F>") == b"Hello"
+    assert _ascii_hex_decode(b"486>") == b"H`"  # odd → pad with 0
+
+
+def test_ascii85_roundtrip():
+    import base64
+
+    for raw in [b"", b"a", b"ab", b"abc", b"abcd", b"Hello, ascii85 world!", b"\0\0\0\0zz"]:
+        enc = base64.a85encode(raw) + b"~>"
+        assert _ascii85_decode(enc) == raw
+    assert _ascii85_decode(b"z~>") == b"\0\0\0\0"  # 'z' shortcut
+
+
+def test_rle_decode():
+    #  literal run of 3 ("abc"), repeat 'x' 4 times (257-253), EOD
+    assert _rle_decode(bytes([2]) + b"abc" + bytes([253]) + b"x" + bytes([128])) == b"abcxxxx"
+
+
+def test_lzw_decode_hand_encoded_vector():
+    # hand-encoded LZW (ISO 32000-1 §7.4.4 algorithm) for EEEeeefff:
+    # codes 256 69 258 101 260 102 262 257, MSB-packed at 9 bits
+    data = bytes([0x80, 0x11, 0x60, 0x46, 0x58, 0x21, 0x9A, 0x0D, 0x01])
+    assert _lzw_decode(data) == b"EEEeeefff"
+
+
+def test_lzw_decode_roundtrip_with_reference_encoder():
+    """Independent minimal LZW encoder (spec algorithm, written fresh
+    here) → decoder must invert it, including width bumps and the
+    early-change boundary."""
+
+    def lzw_encode(raw: bytes) -> bytes:
+        table = {bytes([i]): i for i in range(256)}
+        nxt = 258
+        width = 9
+        out = bytearray()
+        acc = 0
+        nbits = 0
+
+        def emit(code: int) -> None:
+            nonlocal acc, nbits
+            acc = (acc << width) | code
+            nbits += width
+            while nbits >= 8:
+                out.append((acc >> (nbits - 8)) & 0xFF)
+                nbits -= 8
+
+        emit(256)
+        w = b""
+        for b in raw:
+            wc = w + bytes([b])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w])
+            table[wc] = nxt
+            nxt += 1
+            # EarlyChange=1: bump width one code early
+            if nxt + 1 > (1 << width) and width < 12:
+                width += 1
+            w = bytes([b])
+        if w:
+            emit(table[w])
+        emit(257)
+        if nbits:
+            out.append((acc << (8 - nbits)) & 0xFF)
+        return bytes(out)
+
+    rng = random.Random(7)
+    cases = [
+        b"",
+        b"a",
+        b"aaaaaaaaaaaaaaaaaaaaa",
+        bytes(rng.randrange(4) for _ in range(5000)),  # forces width bumps
+        bytes(rng.randrange(256) for _ in range(2000)),
+    ]
+    for raw in cases:
+        assert _lzw_decode(lzw_encode(raw)) == raw
+
+
+def test_png_unpredict_filters():
+    # row of 4 bytes, bpp 1: none / sub / up / average / paeth
+    rows = [
+        (0, [1, 2, 3, 4], [1, 2, 3, 4]),
+        (1, [1, 1, 1, 1], [1, 2, 3, 4]),  # sub: cumulative
+        (2, [1, 1, 1, 1], [2, 3, 4, 5]),  # up: prev row + 1
+        (0, [10, 10, 10, 10], [10, 10, 10, 10]),
+        (3, [1, 1, 1, 1], [6, 9, 10, 11]),  # average
+        (4, [1, 1, 1, 1], [7, 10, 11, 12]),  # paeth
+    ]
+    data = b"".join(bytes([ft]) + bytes(raw) for ft, raw, _ in rows)
+    out = _png_unpredict(data, columns=4, colors=1, bpc=8)
+    exp = b"".join(bytes(e) for _, _, e in rows)
+    assert out == exp
+
+
+# ---------------------------------------------------------------------------
+# document structure
+# ---------------------------------------------------------------------------
+
+
+def test_incremental_update_prev_chain():
+    """Append an updated page-2 content object + a second xref with
+    /Prev — the newer definition must win (crawl PDFs are often
+    incrementally updated)."""
+    import re as _re
+
+    base = encode_pdf(PAGES, compress=False)
+    # find page two's content object number by scanning for its text
+    at = base.find(b"(page two)")
+    objnum = int(_re.findall(rb"(\d+) 0 obj", base[:at])[-1])
+    new_stream = b"BT /F1 10 Tf 72 700 Td (page two REVISED) Tj ET"
+    body = (
+        f"{objnum} 0 obj\n<< /Length {len(new_stream)} >>\nstream\n".encode()
+        + new_stream
+        + b"\nendstream\nendobj\n"
+    )
+    old_xref_at = base.rfind(b"xref")
+    updated = base + body
+    new_off = len(base)
+    root_at = base.find(b"/Root ") + 6
+    root_num = int(base[root_at : base.find(b" ", root_at)])
+    xref2 = (
+        b"xref\n0 1\n0000000000 65535 f \n"
+        + f"{objnum} 1\n{new_off:010d} 00000 n \n".encode()
+        + b"trailer\n<< /Size 99 /Root "
+        + str(root_num).encode()
+        + b" 0 R /Prev "
+        + str(old_xref_at).encode()
+        + b" >>\nstartxref\n"
+        + str(len(updated)).encode()
+        + b"\n%%EOF\n"
+    )
+    doc = updated + xref2
+    assert pdf_extract_text(doc).endswith("page two REVISED")
+    assert "first line of page one" in pdf_extract_text(doc)
+
+
+def test_brute_force_scan_fallback():
+    """Corrupt the startxref offset: the scan fallback still finds all
+    objects and the catalog."""
+    payload = encode_pdf(PAGES, compress=False)
+    at = payload.rfind(b"startxref")
+    end = payload.find(b"\n", at + 10)
+    broken = payload[:at] + b"startxref\n999999999\n%%EOF\n"
+    assert pdf_extract_text(broken) == EXPECTED
+
+
+def test_wrong_length_falls_back_to_endstream_search():
+    payload = encode_pdf([[(72, 700, 12, "hello")]], compress=False)
+    # find the content stream's /Length and lie about it
+    at = payload.find(b"/Length ")
+    end = at + 8
+    while payload[end : end + 1].isdigit():
+        end += 1
+    broken = payload[:at] + b"/Length 999999" + payload[end:]
+    assert pdf_extract_text(broken) == "hello"
+
+
+def test_header_junk_prefix():
+    payload = b"GARBAGE" * 10 + encode_pdf([[(72, 700, 12, "hi")]])
+    assert pdf_extract_text(payload) == "hi"
+
+
+def test_no_header_raises_and_total_wrapper():
+    with pytest.raises(ValueError):
+        PdfDocument(b"not a pdf at all")
+    assert pdf_extract_text(b"not a pdf at all") == ""
+    assert pdf_extract_text(b"") == ""
+
+
+def test_unsupported_filter_raises():
+    payload = encode_pdf([[(72, 700, 12, "x")]], compress=False)
+    broken = payload.replace(b"<< /Length", b"<< /Filter /DCTDecode /Length")
+    # page with undecodable content is skipped, not fatal
+    assert pdf_extract_text(broken) == ""
+
+
+# ---------------------------------------------------------------------------
+# layout / text state
+# ---------------------------------------------------------------------------
+
+
+def _doc_with_content(content: bytes, unicode_font: bool = False) -> bytes:
+    """Wrap a raw content stream with the standard 1-page scaffold."""
+    base = encode_pdf([[(0, 0, 1, "PLACEHOLDER")]], compress=False)
+    at = base.find(b"stream\n") + 7
+    end = base.find(b"\nendstream", at)
+    old = base[at:end]
+    patched = base.replace(old, content)
+    # fix /Length
+    lat = patched.find(b"/Length ")
+    lend = lat + 8
+    while patched[lend : lend + 1].isdigit():
+        lend += 1
+    patched = patched[:lat] + b"/Length " + str(len(content)).encode() + patched[lend:]
+    # xref offsets have shifted → rely on the documented scan fallback
+    return patched
+
+
+def test_reading_order_sorts_by_y_then_x():
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 200 650 Tm (low-right) Tj "
+        b"1 0 0 1 72 700 Tm (top) Tj 1 0 0 1 72 650 Tm (low-left) Tj ET"
+    )
+    assert pdf_extract_text(_doc_with_content(content)) == "top\nlow-left low-right"
+
+
+def test_gap_rule_inserts_single_space():
+    # two runs on one baseline: gap 0.5×size → space; abutting → none
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (ab) Tj "
+        b"1 0 0 1 87 700 Tm (cd) Tj "  # run of 'ab' = 2×5pt wide ends at 82; gap 5pt
+        b"1 0 0 1 97 700 Tm (ef) Tj ET"  # cd ends at 97 → gap 0 → no space
+    )
+    assert pdf_extract_text(_doc_with_content(content)) == "ab cd" + "ef"
+
+
+def test_tz_scaling_affects_advance():
+    # 200% horizontal scale doubles the advance: 'ab' now ends at 92
+    content = (
+        b"BT /F1 10 Tf 200 Tz 1 0 0 1 72 700 Tm (ab) Tj "
+        b"100 Tz 1 0 0 1 92 700 Tm (cd) Tj ET"
+    )
+    assert pdf_extract_text(_doc_with_content(content)) == "abcd"
+
+
+def test_char_and_word_spacing_advance():
+    # Tc 2 adds 2pt per glyph: 'ab' = 2×(5+2) = 14pt → ends at 86
+    content = (
+        b"BT /F1 10 Tf 2 Tc 1 0 0 1 72 700 Tm (ab) Tj "
+        b"0 Tc 1 0 0 1 86 700 Tm (cd) Tj ET"
+    )
+    assert pdf_extract_text(_doc_with_content(content)) == "abcd"
+
+
+def test_cm_translation_moves_baseline():
+    content = (
+        b"q 1 0 0 1 0 -20 cm BT /F1 10 Tf 1 0 0 1 72 700 Tm (below) Tj ET Q "
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (above) Tj ET"
+    )
+    assert pdf_extract_text(_doc_with_content(content)) == "above\nbelow"
+
+
+def test_rotated_text_dev_size():
+    # 90° rotation: y-basis magnitude unchanged → same dev size; the
+    # run lands at its rotated position without crashing the assembler
+    content = b"BT /F1 10 Tf 0 1 -1 0 300 300 Tm (rot) Tj ET"
+    lines = pdf_text_lines(_doc_with_content(content))
+    assert [ln.text for ln in lines] == ["rot"]
+    assert lines[0].size == pytest.approx(10.0)
+
+
+def test_quote_and_dquote_operators():
+    content = (
+        b'BT /F1 10 Tf 12 TL 1 0 0 1 72 712 Tm (a) \' (b) \' 0 0 (c) " ET'
+    )
+    assert pdf_extract_text(_doc_with_content(content)) == "a\nb\nc"
+
+
+def test_inline_image_skipped():
+    content = (
+        b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (before) Tj ET "
+        b"BI /W 2 /H 2 /CS /G /BPC 8 ID \x00\x01\x02\x03 EI "
+        b"BT /F1 10 Tf 1 0 0 1 72 680 Tm (after) Tj ET"
+    )
+    assert pdf_extract_text(_doc_with_content(content)) == "before\nafter"
+
+
+# ---------------------------------------------------------------------------
+# assembler unit behavior
+# ---------------------------------------------------------------------------
+
+
+def test_assemble_lines_tolerance_and_blank_drop():
+    runs = [
+        TextRun(x=72, y=700.0, x_end=90, size=10, text="a"),
+        TextRun(x=95, y=702.5, x_end=110, size=10, text="b"),  # within 0.4×10
+        TextRun(x=72, y=680.0, x_end=80, size=10, text="   "),  # blank line dropped
+        TextRun(x=72, y=660.0, x_end=80, size=10, text="c"),
+    ]
+    lines = assemble_lines(runs, page=0)
+    assert [ln.text for ln in lines] == ["a b", "c"]
+
+
+# ---------------------------------------------------------------------------
+# fuzz totality (mirrors the JPEG fuzz contract)
+# ---------------------------------------------------------------------------
+
+
+def test_fuzz_random_junk_never_raises():
+    rng = random.Random(1234)
+    for _ in range(120):
+        n = rng.randrange(0, 400)
+        junk = b"%PDF-1.4\n" + bytes(rng.randrange(256) for _ in range(n))
+        pdf_extract_text(junk)  # must not raise
+
+
+def test_fuzz_bitflips_never_raise():
+    rng = random.Random(99)
+    base = encode_pdf(PAGES, xref_stream=True, objstm=True)
+    for _ in range(80):
+        b = bytearray(base)
+        for _k in range(rng.randrange(1, 6)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        pdf_extract_text(bytes(b))  # must not raise
+
+
+def test_truncation_never_raises():
+    base = encode_pdf(PAGES)
+    for cut in range(0, len(base), 97):
+        pdf_extract_text(base[:cut])
+
+
+# ---------------------------------------------------------------------------
+# extraction-pipeline integration (the payload sniff)
+# ---------------------------------------------------------------------------
+
+
+def test_extract_document_routes_pdf():
+    from gluon_ocr_spark.kernels.extract import extract_document
+
+    res = extract_document(encode_pdf(PAGES))
+    assert res.text == EXPECTED
+    assert [ln.tag for ln in res.lines] == ["pdf"] * 3
+    assert [(ln.start, ln.end) for ln in res.lines] == [(0, 22), (23, 34), (35, 43)]
+    # spans reconstruct the lines (the T5 substring contract)
+    for ln in res.lines:
+        assert res.text[ln.start : ln.end] == ln.text
+
+
+def test_extract_document_html_unaffected():
+    from gluon_ocr_spark.kernels.extract import extract_document
+
+    html = b"<html><body><p>plain html paragraph with several words here</p></body></html>"
+    res = extract_document(html)
+    assert "plain html paragraph" in res.text
+    assert all(ln.tag != "pdf" for ln in res.lines)
