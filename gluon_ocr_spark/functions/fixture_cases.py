@@ -1002,3 +1002,70 @@ def compute_pdf_extract(i: int) -> list[dict]:
 
 
 FAMILIES["kernel_pdf_extract"] = (compute_pdf_extract, N_CASES)
+
+
+def compute_pdf_layout(i: int) -> list[dict]:
+    """Column-aware reading order (the layout half of the PDF leg):
+    synthesize a two-column page — optional full-width title, two
+    columns of short lines, optional mid-page full-width divider —
+    and emit the extracted lines in reading order with a column tag
+    derived from geometry. The expected order (title → col1 → col2 →
+    divider → lower section) is asserted inside the compute, so the
+    driver gate pins the XY-cut banding, the gutter split, and the
+    spanner sectioning under distributed execution."""
+    from ..kernels.pdf import encode_pdf, pdf_text_lines
+
+    rng = _rng("pdflayout", i)
+    size = 10.0
+    has_title = i % 2 == 0
+    has_divider = i % 3 == 0
+    col_x = (72.0, 340.0)
+    n1, n2 = int(rng.integers(2, 5)), int(rng.integers(2, 5))
+    mk = lambda tag, k: f"{tag} line {k} " + "".join(  # noqa: E731
+        _PDF_WORDS[int(j)] for j in rng.integers(0, 7, size=1)
+    )
+    runs: list[tuple[float, float, float, str]] = []
+    expected: list[str] = []
+    title = "Wide Title Spanning Both Columns Of The Synthetic Page " + str(i)
+    if has_title:
+        runs.append((72.0, 720.0, size, title))
+    col1 = [mk("left", k) for k in range(n1)]
+    col2 = [mk("right", k) for k in range(n2)]
+    for k, t in enumerate(col1):
+        runs.append((col_x[0], 680.0 - 20.0 * k, size, t))
+    for k, t in enumerate(col2):
+        runs.append((col_x[1], 680.0 - 20.0 * k, size, t))
+    lower: list[str] = []
+    divider = "A Mid Page Divider Also Spanning The Full Content Width " + str(i)
+    if has_divider:
+        runs.append((72.0, 560.0, size, divider))
+        lower = [mk("lowleft", 0)]
+        runs.append((col_x[0], 520.0, size, lower[0]))
+        lower.append(mk("lowright", 0))
+        runs.append((col_x[1], 520.0, size, lower[1]))
+    if has_title:
+        expected.append(title)
+    expected += col1 + col2
+    if has_divider:
+        expected += [divider] + lower
+    # runs are shuffled before encoding: reading order must come from
+    # geometry, never from content-stream emission order
+    perm = rng.permutation(len(runs))
+    payload = encode_pdf([[runs[int(p)] for p in perm]])
+    lines = pdf_text_lines(payload)
+    if [ln.text for ln in lines] != expected:
+        raise AssertionError(f"pdf layout order drift (case {i}): {[ln.text for ln in lines]!r}")
+    return [
+        {
+            "case_id": int(i),
+            "line_id": int(k),
+            "x": _r(ln.x, 6),
+            "y": _r(ln.y, 6),
+            "is_spanner": bool(ln.x_end - ln.x > 0.55 * 336.0),
+            "text": ln.text,
+        }
+        for k, ln in enumerate(lines)
+    ]
+
+
+FAMILIES["kernel_pdf_layout"] = (compute_pdf_layout, N_CASES)

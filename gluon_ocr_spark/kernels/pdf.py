@@ -1105,6 +1105,7 @@ class _TextExtractor:
 
 _Y_TOL_FRAC = 0.4  # same-line baseline tolerance × min(font sizes)
 _GAP_FRAC = 0.18  # word gap threshold × previous run's font size
+_COL_SPLIT_FRAC = 3.0  # gap wider than this × size = column gutter, not a space
 
 
 @dataclass
@@ -1114,6 +1115,7 @@ class PdfLine:
     y: float
     size: float
     text: str
+    x_end: float = 0.0  # device-space end of the line (layout banding)
 
 
 def assemble_lines(runs: list[TextRun], page: int) -> list[PdfLine]:
@@ -1136,17 +1138,101 @@ def assemble_lines(runs: list[TextRun], page: int) -> list[PdfLine]:
     out: list[PdfLine] = []
     for group in lines:
         group.sort(key=lambda r: r.x)
-        parts = [group[0].text]
+        # a gap beyond _COL_SPLIT_FRAC × size is a column gutter: split
+        # into separate lines so order_page_lines can band the columns
+        # (intra-line word gaps are ≲1 em; gutters are many ems)
+        pieces: list[list[TextRun]] = [[group[0]]]
         for prev, cur in zip(group, group[1:]):
-            gap = cur.x - prev.x_end
-            if gap > _GAP_FRAC * (prev.size or 1.0):
-                parts.append(" ")
-            parts.append(cur.text)
-        text = "".join(parts)
-        if text.strip():
-            out.append(
-                PdfLine(page=page, x=group[0].x, y=group[0].y, size=group[0].size, text=text)
+            if cur.x - prev.x_end > _COL_SPLIT_FRAC * (prev.size or 1.0):
+                pieces.append([cur])
+            else:
+                pieces[-1].append(cur)
+        for piece in pieces:
+            parts = [piece[0].text]
+            for prev, cur in zip(piece, piece[1:]):
+                gap = cur.x - prev.x_end
+                if gap > _GAP_FRAC * (prev.size or 1.0):
+                    parts.append(" ")
+                parts.append(cur.text)
+            text = "".join(parts)
+            if text.strip():
+                out.append(
+                    PdfLine(
+                        page=page,
+                        x=piece[0].x,
+                        y=piece[0].y,
+                        size=piece[0].size,
+                        text=text,
+                        x_end=piece[-1].x_end,
+                    )
+                )
+    return order_page_lines(out)
+
+
+def order_page_lines(lines: list[PdfLine]) -> list[PdfLine]:
+    """Column-aware reading order (the "layout parse" half of the
+    north rule's PDF leg) — a one-level XY-cut:
+
+    1. Merge the lines' x-intervals into disjoint **bands**. One band
+       (the single-column case) → the incoming top-to-bottom order is
+       returned untouched, so flat documents are bit-identical to the
+       band-free assembly.
+    2. With ≥2 bands, a line whose interval touches more than one band
+       is a **spanner** (a full-width title or section rule). Spanners
+       split the page into vertical sections; within each section,
+       columns are read left-to-right, each top-to-bottom — the
+       reading order a human applies to a two-column page.
+
+    Deterministic: banding and section splits depend only on line
+    geometry, never on input order."""
+    if len(lines) < 2:
+        return lines
+
+    def merge(ivs: list[tuple[float, float]]) -> list[list[float]]:
+        bands: list[list[float]] = []
+        for lo, hi in sorted(ivs):
+            if bands and lo <= bands[-1][1]:
+                bands[-1][1] = max(bands[-1][1], hi)
+            else:
+                bands.append([lo, hi])
+        return bands
+
+    spans = [(ln.x, max(ln.x_end, ln.x)) for ln in lines]
+    full = merge(spans)
+    page_w = full[-1][1] - full[0][0]
+    if page_w <= 0:
+        return lines
+    # a line wider than 55% of the content width cannot sit beside a
+    # sibling column — exclude these spanner CANDIDATES from banding so
+    # a full-width title does not weld the columns together
+    narrow = [iv for iv in spans if iv[1] - iv[0] <= 0.55 * page_w]
+    bands = merge(narrow)
+    if len(bands) < 2:
+        return lines
+
+    def band_of(ln: PdfLine) -> int:
+        """Band index, or -1 for spanners (touching ≥2 bands / none)."""
+        hit = -1
+        for k, (lo, hi) in enumerate(bands):
+            if ln.x <= hi and max(ln.x_end, ln.x) >= lo:
+                if hit != -1:
+                    return -1
+                hit = k
+        return hit
+
+    tagged = [(ln, band_of(ln)) for ln in lines]
+    spanners = sorted((ln for ln, b in tagged if b == -1), key=lambda ln: -ln.y)
+    cuts = [float("inf")] + [ln.y for ln in spanners] + [float("-inf")]
+    out: list[PdfLine] = []
+    for s in range(len(cuts) - 1):
+        top, bot = cuts[s], cuts[s + 1]
+        section = [(ln, b) for ln, b in tagged if b != -1 and bot < ln.y <= top]
+        for k in range(len(bands)):
+            out.extend(
+                sorted((ln for ln, b in section if b == k), key=lambda ln: (-ln.y, ln.x))
             )
+        if s + 1 < len(cuts) - 1:
+            out.append(spanners[s])
     return out
 
 

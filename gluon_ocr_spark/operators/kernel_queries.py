@@ -106,6 +106,9 @@ SCHEMAS = {
         "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "
         "det_geom_op bigint, det_poly_digest double, rec_img_sum bigint, rec_ops string"
     ),
+    "kernel_pdf_layout": (
+        "case_id bigint, line_id bigint, x double, y double, is_spanner boolean, text string"
+    ),
     "kernel_pdf_extract": (
         "case_id bigint, variant string, n_bytes bigint, page bigint, line_id bigint, "
         "x double, y double, size double, text string, n_chars bigint"

@@ -275,11 +275,47 @@ def _doc_with_content(content: bytes, unicode_font: bool = False) -> bytes:
 
 
 def test_reading_order_sorts_by_y_then_x():
+    # low-left ends at x=112; low-right starts at 200 — an 88pt gap at
+    # size 10 is a column gutter (> _COL_SPLIT_FRAC×size), so the page
+    # reads as two columns, left column first
     content = (
         b"BT /F1 10 Tf 1 0 0 1 200 650 Tm (low-right) Tj "
         b"1 0 0 1 72 700 Tm (top) Tj 1 0 0 1 72 650 Tm (low-left) Tj ET"
     )
-    assert pdf_extract_text(_doc_with_content(content)) == "top\nlow-left low-right"
+    assert pdf_extract_text(_doc_with_content(content)) == "top\nlow-left\nlow-right"
+
+
+def test_gutter_vs_wide_word_gap():
+    # 25pt gap at size 10 (2.5 em) is still a word gap → single space;
+    # 35pt (3.5 em) is a gutter → separate lines / columns
+    near = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (ab) Tj 1 0 0 1 107 700 Tm (cd) Tj ET"
+    far = b"BT /F1 10 Tf 1 0 0 1 72 700 Tm (ab) Tj 1 0 0 1 118 700 Tm (cd) Tj ET"
+    assert pdf_extract_text(_doc_with_content(near)) == "ab cd"
+    assert pdf_extract_text(_doc_with_content(far)) == "ab\ncd"
+
+
+def test_two_column_layout_with_spanners():
+    from gluon_ocr_spark.kernels.pdf import encode_pdf as _enc
+
+    runs = [(72, 720, 10, "A Full Width Document Title Spanning Both Columns Of Text")]
+    for k, t in enumerate(["left one", "left two", "left three"]):
+        runs.append((72, 680 - 20 * k, 10, t))
+    for k, t in enumerate(["right one", "right two"]):
+        runs.append((340, 680 - 20 * k, 10, t))
+    runs.append((72, 600, 10, "A Mid Page Section Divider Spanning The Whole Width Here"))
+    runs.append((72, 560, 10, "lower left"))
+    runs.append((340, 560, 10, "lower right"))
+    assert pdf_extract_text(_enc([runs])).split("\n") == [
+        "A Full Width Document Title Spanning Both Columns Of Text",
+        "left one",
+        "left two",
+        "left three",
+        "right one",
+        "right two",
+        "A Mid Page Section Divider Spanning The Whole Width Here",
+        "lower left",
+        "lower right",
+    ]
 
 
 def test_gap_rule_inserts_single_space():
