@@ -88,6 +88,29 @@ def arr_sum_bigint(arr: str, d: str) -> str:
     return f"CAST(list_sum({arr}) AS BIGINT)"
 
 
+def str_split(expr: str, sep: str, d: str) -> str:
+    """Split on a LITERAL separator. Spark's split() takes a regex, so
+    regex metacharacters must be escaped on that side only."""
+    if d == SPARK:
+        esc = "".join("\\\\" + c if c in r".^$*+?()[]{}|\\" else c for c in sep)
+        return f"split({expr}, '{esc}')"
+    return f"string_split({expr}, '{sep}')"
+
+
+def arr_sort(arr: str, d: str) -> str:
+    return f"array_sort({arr})" if d == SPARK else f"list_sort({arr})"
+
+
+def arr_join(arr: str, sep: str, d: str) -> str:
+    return f"array_join({arr}, '{sep}')" if d == SPARK else f"array_to_string({arr}, '{sep}')"
+
+
+def arr_at(arr: str, idx: int, d: str) -> str:
+    """1-based element access; negative counts from the end (both
+    engines follow that convention for their respective forms)."""
+    return f"element_at({arr}, {idx})" if d == SPARK else f"{arr}[{idx}]"
+
+
 def token_codes(col: str, d: str) -> str:
     """Array of modular token codes for a text column."""
     lam = f"t -> {hex15('t', d)} % {P}"

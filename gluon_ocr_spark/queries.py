@@ -1157,6 +1157,120 @@ def sql_multimodal_meta(d: str) -> str:
 
 
 # ---------------------------------------------------------------------------
+# Web URL canonicalization (the crawl-pipeline stage BEFORE content dedup)
+# ---------------------------------------------------------------------------
+
+
+def _sql_web_urls(d: str) -> str:
+    """Deterministic raw-URL synthesis + generic canonicalization CTE.
+
+    A 100 TB crawl dedups URLs before it ever hashes content: the same
+    page arrives as ``https://www.Site9.EXAMPLE2.COM:443/p/9/?b=2&
+    utm_source=feed&a=1#frag`` and ``https://site9.example2.com/p/9?
+    a=1&b=2``. URLs are synthesized from doc_id alone (two raw
+    variants per canonical identity, cycling on doc_id div 250) so no
+    external data is needed; canonicalization then parses the RAW
+    string generically — scheme/host lowercase, www. strip, default-
+    port drop, trailing-slash strip, fragment drop, tracking-param
+    removal (utm_*/fbclid/gclid), and query-param sort — all pure
+    dual-dialect expressions, zero UDF, map-only (whole-stage codegen;
+    at lake scale this is a projection pushed into the scan)."""
+    idiv = "div" if d == SPARK else "//"
+    b = "cast(doc_id % 250 as string)"
+    b37 = "cast((doc_id % 250) % 37 as string)"
+    b5 = "cast((doc_id % 250) % 5 as string)"
+    raw = f"""CASE WHEN (doc_id {idiv} 250) % 2 = 0
+        THEN 'https://www.site' || {b37} || '.example' || {b5} || '.com/articles/item' || {b} || '?a=1&b=2'
+        ELSE 'HTTPS://Site' || {b37} || '.EXAMPLE' || {b5} || '.COM:443/articles/item' || {b} || '/?b=2&utm_source=feed&a=1&gclid=xyz#section2'
+        END"""
+    params = pt.str_split("q", "&", d)
+    lam = (
+        "x -> x <> '' AND substr(split_part(x, '=', 1), 1, 4) <> 'utm_' "
+        "AND split_part(x, '=', 1) NOT IN ('fbclid', 'gclid')"
+    )
+    qcanon = pt.arr_join(pt.arr_sort(pt.arr_filter(params, lam, d), d), "&", d)
+    labels = pt.str_split("host", ".", d)
+    dom = f"{pt.arr_at(labels, -2, d)} || '.' || {pt.arr_at(labels, -1, d)}"
+    return f"""
+    raw AS (SELECT doc_id, {raw} AS url FROM documents),
+    split1 AS (
+        SELECT doc_id, url,
+               lower(split_part(split_part(url, '#', 1), '://', 1)) AS scheme,
+               split_part(split_part(url, '#', 1), '://', 2) AS rest
+        FROM raw
+    ),
+    split2 AS (
+        SELECT *, split_part(rest, '/', 1) AS hostport,
+               substr(rest, length(split_part(rest, '/', 1)) + 1) AS pathq
+        FROM split1
+    ),
+    split3 AS (
+        SELECT *,
+               CASE WHEN substr(lower(split_part(hostport, ':', 1)), 1, 4) = 'www.'
+                    THEN substr(lower(split_part(hostport, ':', 1)), 5)
+                    ELSE lower(split_part(hostport, ':', 1)) END AS host,
+               split_part(hostport, ':', 2) AS port,
+               CASE WHEN split_part(pathq, '?', 1) = '' THEN '/'
+                    ELSE split_part(pathq, '?', 1) END AS path0,
+               split_part(pathq, '?', 2) AS q
+        FROM split2
+    ),
+    canon AS (
+        SELECT doc_id, url, host,
+               scheme || '://' || host ||
+               CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
+                         OR (scheme = 'https' AND port = '443')
+                    THEN '' ELSE ':' || port END ||
+               CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
+                    THEN substr(path0, 1, length(path0) - 1) ELSE path0 END ||
+               CASE WHEN {qcanon} = '' THEN '' ELSE '?' || {qcanon} END AS canonical_url,
+               {dom} AS domain
+        FROM split3
+    )"""
+
+
+def sql_web_url_canonical(d: str) -> str:
+    """Per-doc URL canonicalization: raw → canonical + registrable
+    domain. Map-only projection — the 100 TB shape is a scan-attached
+    expression, no shuffle at all."""
+    return f"""
+    WITH {_sql_web_urls(d)}
+    SELECT doc_id, url, canonical_url, domain FROM canon
+    """
+
+
+def sql_web_url_dedup(d: str) -> str:
+    """URL-level dedup: group on the canonical form; the two raw
+    variants per identity must collapse (n_dups = docs per canonical,
+    keeper = min doc_id — the same canonical-keep policy as
+    dedup_exact). One hash shuffle on canonical_url with map-side
+    partial aggregation."""
+    return f"""
+    WITH {_sql_web_urls(d)}
+    SELECT canonical_url,
+           count(*) AS n_dups,
+           min(doc_id) AS keeper
+    FROM canon
+    GROUP BY canonical_url
+    """
+
+
+def sql_web_domain_stats(d: str) -> str:
+    """Registrable-domain rollup (crawl curation: per-domain budgets,
+    blocklists, sampling weights). Distinct-counts ride the same
+    single shuffle as the group-by."""
+    return f"""
+    WITH {_sql_web_urls(d)}
+    SELECT domain,
+           count(*) AS n_docs,
+           count(DISTINCT canonical_url) AS n_canonical,
+           count(DISTINCT host) AS n_hosts
+    FROM canon
+    GROUP BY domain
+    """
+
+
+# ---------------------------------------------------------------------------
 # Registry
 # ---------------------------------------------------------------------------
 
@@ -1169,6 +1283,9 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_bigram_rarity": sql_text_bigram_rarity,
     "text_winnow": sql_text_winnow,
     "text_winnow_pairs": sql_text_winnow_pairs,
+    "web_url_canonical": sql_web_url_canonical,
+    "web_url_dedup": sql_web_url_dedup,
+    "web_domain_stats": sql_web_domain_stats,
     "sketch_kmv_distinct": sql_sketch_kmv_distinct,
     "corpus_sample_stratified": sql_corpus_sample_stratified,
     "dedup_exact": sql_dedup_exact,
