@@ -59,6 +59,8 @@ BENCH_QUERIES = (
     "ann_lsh_topk",
     "ann_ivf_topk",
     "extract_roundtrip",
+    "extract_pdf_roundtrip",
+    "web_url_dedup",
 )
 
 

@@ -1249,8 +1249,13 @@ def is_pdf(payload: bytes) -> bool:
 
 def pdf_text_lines(payload: bytes) -> list[PdfLine]:
     """payload → ordered text lines across all pages. Raises
-    ``ValueError`` on a hopeless payload (no header / no catalog)."""
+    ``ValueError`` on a hopeless payload (no header / no catalog) and
+    on encrypted documents (strings/streams are RC4/AES ciphertext —
+    emitting them as text would be silent garbage, the one failure
+    mode worse than an empty result)."""
     doc = PdfDocument(payload)
+    if "Encrypt" in doc.trailer:
+        raise ValueError("pdf: encrypted document")
     ex = _TextExtractor(doc)
     out: list[PdfLine] = []
     for pno, page in enumerate(doc.pages()):

@@ -448,3 +448,44 @@ def test_extract_document_html_unaffected():
     res = extract_document(html)
     assert "plain html paragraph" in res.text
     assert all(ln.tag != "pdf" for ln in res.lines)
+
+
+def test_encrypted_pdf_refused():
+    payload = encode_pdf(PAGES, compress=False)
+    # splice an /Encrypt entry into the trailer: the parser must refuse
+    # rather than emit ciphertext as text
+    at = payload.rfind(b"trailer")
+    broken = payload[:at] + payload[at:].replace(
+        b"/Size", b"/Encrypt 99 0 R /Size", 1
+    )
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf_text_lines(broken)
+    assert pdf_extract_text(broken) == ""
+
+
+def test_stream_extract_routes_pdf(spark, tmp_path):
+    """PDF payloads flow through the streaming extraction path via the
+    same payload sniff — batch and stream agree byte-for-byte."""
+    import pandas as pd
+
+    from gluon_ocr_spark.streaming.pipeline import run_extract_stream
+
+    pages_dir = str(tmp_path / "pages")
+    out_dir = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    rows = []
+    for i in range(12):
+        text_lines = [f"doc {i} line {k}" for k in range(1 + i % 3)]
+        payload = encode_pdf(
+            [[(72.0, 700.0 - 20 * k, 10.0, t) for k, t in enumerate(text_lines)]],
+            xref_stream=bool(i % 2),
+        )
+        rows.append({"url": f"pdf://{i}", "html": payload, "expected": "\n".join(text_lines)})
+    spark.createDataFrame(
+        pd.DataFrame([{k: r[k] for k in ("url", "html")} for r in rows])
+    ).write.parquet(pages_dir)
+
+    q = run_extract_stream(spark, pages_dir, out_dir, ckpt, available_now=True)
+    q.awaitTermination(120)
+    got = {r["url"]: r["text"] for r in spark.read.parquet(out_dir).select("url", "text").collect()}
+    assert got == {r["url"]: r["expected"] for r in rows}
