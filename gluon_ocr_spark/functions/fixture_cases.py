@@ -949,7 +949,7 @@ def compute_pdf_extract(i: int) -> list[dict]:
     rng = _rng("pdf", i)
     variant_kw = [
         {"variant": "td"},
-        {"variant": "td", "compress": False},
+        {"variant": "td", "compress": False, "explicit_widths": True},
         {"variant": "tm"},
         {"variant": "tjarr"},
         {"variant": "td", "hex_strings": True},

