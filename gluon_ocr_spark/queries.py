@@ -82,6 +82,46 @@ def sql_text_stats(d: str) -> str:
     """
 
 
+_BPE_PAT = "''(s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^A-Za-z0-9 ]+"
+
+
+def sql_text_bpe_tokens(d: str) -> str:
+    """BPE-style pre-tokenizer counting (the other half of the brief's
+    "token counting: whitespace + a BPE-ish regex"; whitespace is
+    text_stats). The pattern is the GPT-2 pre-tokenizer shape —
+    contraction suffixes, space-prefixed letter runs, digit runs,
+    punctuation runs — restricted to constructs RE2 (DuckDB) and Java
+    regex (Spark) evaluate identically: no lookahead, no unicode
+    classes (ASCII corpus). Token counts are THE budgeting quantity of
+    an LLM data pipeline (sampling weights, epoch sizing, price
+    estimates); chars_per_token is its compressibility signal.
+    Map-only projection, zero shuffle, zero UDF."""
+    n = (
+        f"size(regexp_extract_all(text, '{_BPE_PAT}', 0))"
+        if d == SPARK
+        else f"len(regexp_extract_all(text, '{_BPE_PAT}'))"
+    )
+    alpha = (
+        "size(regexp_extract_all(text, '[A-Za-z]+', 0))"
+        if d == SPARK
+        else "len(regexp_extract_all(text, '[A-Za-z]+'))"
+    )
+    digits = (
+        "size(regexp_extract_all(text, '[0-9]+', 0))"
+        if d == SPARK
+        else "len(regexp_extract_all(text, '[0-9]+'))"
+    )
+    return f"""
+    SELECT doc_id,
+           {n} AS n_bpe_tokens,
+           {alpha} AS n_alpha_runs,
+           {digits} AS n_digit_runs,
+           round(cast(length(text) AS double) / {n}, 4) AS chars_per_token
+    FROM documents
+    WHERE length(text) > 0
+    """
+
+
 _STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with")
 
 
@@ -314,6 +354,35 @@ def sql_text_winnow_pairs(d: str) -> str:
     JOIN n na ON na.doc_id = a.doc_id
     JOIN n nb ON nb.doc_id = b.doc_id
     GROUP BY a.doc_id, b.doc_id
+    """
+
+
+def sql_text_dup_ngrams(d: str) -> str:
+    """Cross-document duplicated-n-gram fraction (the RefinedWeb /
+    SlimPajama curation signal): for each doc, the share of its
+    distinct 5-gram shingles that also occur in at least one OTHER
+    document. High dup_frac = boilerplate / templated / syndicated
+    text, the docs a pretraining mix down-weights even when no single
+    pair crosses a near-dup threshold.
+
+    Shape: one explode of per-doc DISTINCT shingles (within-doc
+    repetition must not inflate document frequency), one groupBy
+    shuffle on the shingle code for df, one equi-join back, one
+    groupBy on doc_id. At lake scale the df table is the same
+    materialized shingle projection every other sketch reads
+    (PLANS.md CollapseProject rule)."""
+    codes = pt.arr_distinct(pt.shingle_codes("text", d, n=5), d)
+    explode = "explode" if d == SPARK else "unnest"
+    return f"""
+    WITH s AS (SELECT doc_id, {explode}({codes}) AS sh FROM documents),
+    df AS (SELECT sh, count(*) AS df FROM s GROUP BY sh)
+    SELECT s.doc_id,
+           count(*) AS n_shingles,
+           cast(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS bigint) AS n_dup_shingles,
+           round(cast(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS double)
+                 / count(*), 4) AS dup_frac
+    FROM s JOIN df ON s.sh = df.sh
+    GROUP BY s.doc_id
     """
 
 
@@ -1276,6 +1345,7 @@ def sql_web_domain_stats(d: str) -> str:
 
 SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_stats": sql_text_stats,
+    "text_bpe_tokens": sql_text_bpe_tokens,
     "text_quality": sql_text_quality,
     "text_lang_id": sql_text_lang_id,
     "text_fingerprint": sql_text_fingerprint,
@@ -1283,6 +1353,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_bigram_rarity": sql_text_bigram_rarity,
     "text_winnow": sql_text_winnow,
     "text_winnow_pairs": sql_text_winnow_pairs,
+    "text_dup_ngrams": sql_text_dup_ngrams,
     "web_url_canonical": sql_web_url_canonical,
     "web_url_dedup": sql_web_url_dedup,
     "web_domain_stats": sql_web_domain_stats,
