@@ -927,6 +927,34 @@ def _mat_mul(m, n):
     )
 
 
+def _page_rotation_ctm(doc: "PdfDocument", page: dict):
+    """Base CTM honoring /Rotate (inherited, multiples of 90): map
+    user space into the DISPLAYED orientation so reading order and
+    column banding follow what a human sees, not how the producer
+    happened to lay the page on its side (common in scanned crawl
+    PDFs). 90 = clockwise display: the user-space left edge becomes
+    the display top edge."""
+    try:
+        rot = int(doc.resolve(page.get("Rotate", 0)) or 0) % 360
+    except (ValueError, TypeError):
+        return _ID_MAT
+    if rot == 0:
+        return _ID_MAT
+    box = doc.resolve(page.get("MediaBox")) or [0, 0, 612, 792]
+    try:
+        w = float(doc.resolve(box[2])) - float(doc.resolve(box[0]))
+        h = float(doc.resolve(box[3])) - float(doc.resolve(box[1]))
+    except (ValueError, TypeError, IndexError):
+        w, h = 612.0, 792.0
+    if rot == 90:
+        return (0.0, -1.0, 1.0, 0.0, 0.0, w)
+    if rot == 180:
+        return (-1.0, 0.0, 0.0, -1.0, w, h)
+    if rot == 270:
+        return (0.0, 1.0, -1.0, 0.0, h, 0.0)
+    return _ID_MAT
+
+
 @dataclass
 class TextRun:
     """One shown string in device space (the PDF analog of a detected
@@ -969,7 +997,7 @@ class _TextExtractor:
             streams = []
         data = b"\n".join(decode_stream(self.doc, s) for s in streams)
         resources = self.doc.resolve(page.get("Resources")) or {}
-        self._exec(data, resources, _ID_MAT, 0)
+        self._exec(data, resources, _page_rotation_ctm(self.doc, page), 0)
         return self.runs
 
     def _exec(self, data: bytes, resources: dict, ctm, depth: int) -> None:

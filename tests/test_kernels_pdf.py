@@ -489,3 +489,32 @@ def test_stream_extract_routes_pdf(spark, tmp_path):
     q.awaitTermination(120)
     got = {r["url"]: r["text"] for r in spark.read.parquet(out_dir).select("url", "text").collect()}
     assert got == {r["url"]: r["expected"] for r in rows}
+
+
+def test_rotate_180_reverses_reading_order():
+    """/Rotate 180 flips the displayed page: the line written higher in
+    user space reads LAST. Order must follow display orientation."""
+    payload = encode_pdf([[(72, 700, 12, "was first"), (72, 680, 12, "was second")]],
+                         compress=False)
+    rotated = payload.replace(b"<< /Type /Page ", b"<< /Type /Page /Rotate 180 ", 1)
+    assert pdf_extract_text(payload) == "was first\nwas second"
+    assert pdf_extract_text(rotated) == "was second\nwas first"
+
+
+def test_rotate_90_restores_sideways_text():
+    """Text drawn sideways (Tm rotation, baselines running up the
+    user-space page) + /Rotate 90 reads upright: two vertical 'lines'
+    at different x become properly ordered horizontal lines."""
+    # 90° text matrix (0 1 -1 0): glyphs advance toward +y (upward);
+    # with /Rotate 90 (clockwise display) they read left-to-right.
+    content = (
+        b"BT /F1 10 Tf 0 1 -1 0 100 72 Tm (upper line) Tj "
+        b"0 1 -1 0 120 72 Tm (lower line) Tj ET"
+    )
+    base = _doc_with_content(content)
+    rotated = base.replace(b"<< /Type /Page ", b"<< /Type /Page /Rotate 90 ", 1)
+    lines = pdf_text_lines(rotated)
+    assert [ln.text for ln in lines] == ["upper line", "lower line"]
+    # the x=100 column is displayed ABOVE the x=120 column after 90° cw
+    assert lines[0].y > lines[1].y
+    assert lines[0].size == pytest.approx(10.0)
