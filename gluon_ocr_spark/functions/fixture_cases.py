@@ -1069,3 +1069,52 @@ def compute_pdf_layout(i: int) -> list[dict]:
 
 
 FAMILIES["kernel_pdf_layout"] = (compute_pdf_layout, N_CASES)
+
+
+def compute_pdf_images(i: int) -> list[dict]:
+    """Embedded-image extraction from PDFs — the multimodal crawl-PDF
+    op: JPEG (DCTDecode → the from-scratch JPEG decoder) and raw
+    Flate rasters (RGB + gray) embedded per page, extracted back and
+    checksummed. Raw images assert losslessness inside the compute;
+    JPEG checksums the deterministically decoded pixels (same
+    convention as kernel_media_decode)."""
+    from ..kernels.jpeg import encode_jpeg
+    from ..kernels.pdf import encode_pdf, pdf_images
+
+    rng = _rng("pdfimg", i)
+    h = int(rng.integers(8, 28))
+    w = int(rng.integers(8, 28))
+    base = np.linspace(40, 210, w)[None, :] + np.linspace(0, 30, h)[:, None]
+    photo = np.clip(base[:, :, None] + rng.normal(0, 6, (h, w, 3)), 0, 255).astype(np.uint8)
+    jpg = encode_jpeg(photo, quality=90)
+    raw_rgb = rng.integers(0, 256, (int(rng.integers(6, 20)), int(rng.integers(6, 20)), 3)).astype(np.uint8)
+    raw_gray = rng.integers(0, 256, (int(rng.integers(6, 20)), int(rng.integers(6, 20)))).astype(np.uint8)
+    structure = {} if i % 3 else {"xref_stream": True, "objstm": True}
+    payload = encode_pdf(
+        [[(72.0, 700.0, 10.0, f"figure page {i}")], [(72.0, 700.0, 10.0, "plates")]],
+        images={0: [("jpeg", jpg, w, h), ("raw", raw_rgb)], 1: [("raw", raw_gray)]},
+        **structure,
+    )
+    ims = pdf_images(payload)
+    if len(ims) != 3:
+        raise AssertionError(f"pdf image inventory drift (case {i}): {len(ims)}")
+    if not np.array_equal(ims[1]["pixels"].reshape(raw_rgb.shape), raw_rgb):
+        raise AssertionError(f"raw rgb roundtrip drift (case {i})")
+    if not np.array_equal(ims[2]["pixels"].reshape(raw_gray.shape + (1,)), raw_gray[:, :, None]):
+        raise AssertionError(f"raw gray roundtrip drift (case {i})")
+    return [
+        {
+            "case_id": int(i),
+            "img_id": int(k),
+            "page": int(im["page"]),
+            "decoder": im["decoder"],
+            "width": int(im["width"]),
+            "height": int(im["height"]),
+            "channels": int(im["channels"]),
+            "pix_sum": int(np.int64(im["pixels"]).sum()),
+        }
+        for k, im in enumerate(ims)
+    ]
+
+
+FAMILIES["kernel_pdf_images"] = (compute_pdf_images, N_CASES)

@@ -1304,6 +1304,94 @@ def pdf_extract_text(payload: bytes) -> str:
         return ""
 
 
+def pdf_images(payload: bytes) -> list[dict]:
+    """Extract embedded raster images — the multimodal half of crawl-
+    PDF processing (figures/scans as training data). Walks each page's
+    XObject resources (one level of Form nesting): ``/Subtype /Image``
+    with ``/DCTDecode`` routes to the from-scratch baseline/progressive
+    JPEG decoder (:mod:`.jpeg`); Flate/LZW/A85-wrapped 8-bit
+    DeviceRGB/DeviceGray rasters decode via the filter chain; anything
+    else (CCITT, JBIG2, JPX, palettes, 1-bit masks) is reported with
+    ``decoder='unsupported'`` and ``pixels=None`` — honest inventory,
+    never a fake. Returns dicts of (page, name, width, height,
+    channels, decoder, pixels)."""
+    import numpy as np
+
+    doc = PdfDocument(payload)
+    if "Encrypt" in doc.trailer:
+        raise ValueError("pdf: encrypted document")
+    out: list[dict] = []
+
+    def harvest(res: dict, pno: int, depth: int) -> None:
+        xobjs = doc.resolve(res.get("XObject")) or {}
+        if not isinstance(xobjs, dict):
+            return
+        for name in sorted(xobjs):
+            xo = doc.resolve(xobjs[name])
+            if not isinstance(xo, PdfStream):
+                continue
+            sub = str(doc.resolve(xo.dict.get("Subtype", "")))
+            if sub == "Form" and depth < 4:
+                harvest(doc.resolve(xo.dict.get("Resources")) or {}, pno, depth + 1)
+                continue
+            if sub != "Image":
+                continue
+            width = int(doc.resolve(xo.dict.get("Width", 0)) or 0)
+            height = int(doc.resolve(xo.dict.get("Height", 0)) or 0)
+            bpc = int(doc.resolve(xo.dict.get("BitsPerComponent", 8)) or 8)
+            cs = str(doc.resolve(xo.dict.get("ColorSpace", "")))
+            filters = doc.resolve(xo.dict.get("Filter"))
+            if isinstance(filters, (Name, str)):
+                filters = [str(filters)]
+            elif isinstance(filters, list):
+                filters = [str(doc.resolve(f)) for f in filters]
+            else:
+                filters = []
+            entry = {
+                "page": pno,
+                "name": str(name),
+                "width": width,
+                "height": height,
+                "channels": 0,
+                "decoder": "unsupported",
+                "pixels": None,
+            }
+            try:
+                if filters and filters[-1] in ("DCTDecode", "DCT"):
+                    # apply any preceding transport filters, then JPEG
+                    raw = xo.raw
+                    if len(filters) > 1:
+                        pre = PdfStream(
+                            {"Filter": [Name(f) for f in filters[:-1]]}, raw
+                        )
+                        raw = decode_stream(doc, pre)
+                    from .jpeg import decode_jpeg
+
+                    px = decode_jpeg(raw)
+                    entry.update(
+                        channels=1 if px.ndim == 2 else px.shape[2],
+                        decoder="stdlib-jpeg",
+                        pixels=px,
+                        width=px.shape[1],
+                        height=px.shape[0],
+                    )
+                elif bpc == 8 and cs in ("DeviceRGB", "DeviceGray"):
+                    data = decode_stream(doc, xo)
+                    ch = 3 if cs == "DeviceRGB" else 1
+                    if len(data) >= width * height * ch > 0:
+                        px = np.frombuffer(
+                            data[: width * height * ch], dtype=np.uint8
+                        ).reshape(height, width, ch)
+                        entry.update(channels=ch, decoder="raw", pixels=px)
+            except (ValueError, KeyError, TypeError, zlib.error):
+                pass  # damaged image: keep the honest 'unsupported' row
+            out.append(entry)
+
+    for pno, page in enumerate(doc.pages()):
+        harvest(doc.resolve(page.get("Resources")) or {}, pno, 0)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # deterministic writer (fixtures/oracles only)
 # ---------------------------------------------------------------------------
@@ -1411,6 +1499,7 @@ def encode_pdf(
     unicode_font: bool = False,
     predictor: bool = False,
     explicit_widths: bool = False,
+    images: dict[int, list] | None = None,
 ) -> bytes:
     """Serialize pages of (x, y, size, text) runs into a real PDF.
 
@@ -1444,9 +1533,49 @@ def encode_pdf(
                 return b"<" + raw.hex().encode() + b">"
             return _esc_string(raw)
 
+    # image XObjects: images[page_idx] = [("jpeg", jpeg_bytes, w, h) |
+    # ("raw", HxWx3-or-HxW uint8 ndarray)]; placed below the text block
+    img_objs: dict[int, list[tuple[str, int]]] = {}
+    for pidx, imgs in (images or {}).items():
+        entries = []
+        for k, spec in enumerate(imgs):
+            name = f"Im{k}"
+            if spec[0] == "jpeg":
+                _tag, jpg, iw, ih = spec
+                num = w.add(
+                    b"<< /Type /XObject /Subtype /Image /Width " + str(iw).encode()
+                    + b" /Height " + str(ih).encode()
+                    + b" /ColorSpace /DeviceRGB /BitsPerComponent 8 /Filter /DCTDecode"
+                    + b" /Length " + str(len(jpg)).encode() + b" >>\nstream\n" + jpg
+                    + b"\nendstream"
+                )
+            else:
+                arr = spec[1]
+                ih, iw = arr.shape[0], arr.shape[1]
+                ch = 1 if arr.ndim == 2 else arr.shape[2]
+                cs = b"/DeviceGray" if ch == 1 else b"/DeviceRGB"
+                comp = zlib.compress(arr.tobytes(), 6)
+                num = w.add(
+                    b"<< /Type /XObject /Subtype /Image /Width " + str(iw).encode()
+                    + b" /Height " + str(ih).encode() + b" /ColorSpace " + cs
+                    + b" /BitsPerComponent 8 /Filter /FlateDecode /Length "
+                    + str(len(comp)).encode() + b" >>\nstream\n" + comp + b"\nendstream"
+                )
+            entries.append((name, num))
+        img_objs[pidx] = entries
+
+    def page_content(pidx: int, page) -> bytes:
+        ops = _content_for_page(page, variant, encode_text)
+        for k, (name, _num) in enumerate(img_objs.get(pidx, [])):
+            ops += (
+                b"\nq 100 0 0 80 " + _fmt_num(72 + 110 * k) + b" 80 cm /"
+                + name.encode() + b" Do Q"
+            )
+        return ops
+
     content_nums = [
-        w.add_stream({}, _content_for_page(page, variant, encode_text), compress)
-        for page in pages
+        w.add_stream({}, page_content(pidx, page), compress)
+        for pidx, page in enumerate(pages)
     ]
 
     if unicode_font:
@@ -1490,12 +1619,19 @@ def encode_pdf(
 
     page_nums = []
     pages_num = w.next_num + len(pages)  # reserve: pages object after kids
-    for cnum in content_nums:
+    for pidx, cnum in enumerate(content_nums):
+        xres = b""
+        if img_objs.get(pidx):
+            xres = b" /XObject << " + b" ".join(
+                b"/" + name.encode() + b" " + str(num).encode() + b" 0 R"
+                for name, num in img_objs[pidx]
+            ) + b" >>"
         page_nums.append(
             w.add(
                 b"<< /Type /Page /Parent " + str(pages_num).encode() + b" 0 R "
                 b"/MediaBox [0 0 612 792] /Resources << /Font << /F1 "
-                + str(font).encode() + b" 0 R >> >> /Contents " + str(cnum).encode() + b" 0 R >>"
+                + str(font).encode() + b" 0 R >>" + xres + b" >> /Contents "
+                + str(cnum).encode() + b" 0 R >>"
             )
         )
     kids = b" ".join(str(p).encode() + b" 0 R" for p in page_nums)

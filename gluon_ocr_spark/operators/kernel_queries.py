@@ -106,6 +106,10 @@ SCHEMAS = {
         "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "
         "det_geom_op bigint, det_poly_digest double, rec_img_sum bigint, rec_ops string"
     ),
+    "kernel_pdf_images": (
+        "case_id bigint, img_id bigint, page bigint, decoder string, "
+        "width bigint, height bigint, channels bigint, pix_sum bigint"
+    ),
     "kernel_pdf_layout": (
         "case_id bigint, line_id bigint, x double, y double, is_spanner boolean, text string"
     ),

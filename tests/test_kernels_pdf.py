@@ -518,3 +518,79 @@ def test_rotate_90_restores_sideways_text():
     # the x=100 column is displayed ABOVE the x=120 column after 90° cw
     assert lines[0].y > lines[1].y
     assert lines[0].size == pytest.approx(10.0)
+
+
+# ---------------------------------------------------------------------------
+# embedded images
+# ---------------------------------------------------------------------------
+
+
+def _photo(h, w, seed=5):
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    base = np.linspace(40, 210, w)[None, :] + np.linspace(0, 30, h)[:, None]
+    return np.clip(base[:, :, None] + rng.normal(0, 6, (h, w, 3)), 0, 255).astype(np.uint8)
+
+
+def test_pdf_images_jpeg_and_raw_roundtrip():
+    import numpy as np
+
+    from gluon_ocr_spark.kernels.jpeg import decode_jpeg, encode_jpeg
+    from gluon_ocr_spark.kernels.pdf import pdf_images
+
+    photo = _photo(24, 30)
+    jpg = encode_jpeg(photo, quality=90)
+    raw = np.arange(10 * 12 * 3, dtype=np.uint8).reshape(10, 12, 3)
+    payload = encode_pdf(
+        [[(72, 700, 10, "fig")]], images={0: [("jpeg", jpg, 30, 24), ("raw", raw)]}
+    )
+    ims = pdf_images(payload)
+    assert [im["decoder"] for im in ims] == ["stdlib-jpeg", "raw"]
+    assert np.array_equal(ims[0]["pixels"], decode_jpeg(jpg))  # container-independent
+    assert np.array_equal(ims[1]["pixels"].reshape(raw.shape), raw)  # lossless
+    assert pdf_extract_text(payload) == "fig"  # text path undisturbed
+
+
+def test_pdf_images_unsupported_filter_honest():
+    from gluon_ocr_spark.kernels.pdf import pdf_images
+
+    payload = encode_pdf(
+        [[(72, 700, 10, "scan")]],
+        images={0: [("jpeg", b"\xff\xd8 not really a jpeg", 4, 4)]},
+        compress=False,
+    )
+    # also splice an exotic filter name: both must yield honest rows
+    spliced = payload.replace(b"/Filter /DCTDecode", b"/Filter /CCITTFaxDecode", 1)
+    for p in (payload, spliced):
+        (im,) = pdf_images(p)
+        assert im["decoder"] == "unsupported"
+        assert im["pixels"] is None
+
+
+def test_pdf_images_encrypted_refused():
+    from gluon_ocr_spark.kernels.pdf import pdf_images
+
+    payload = encode_pdf([[(72, 700, 10, "x")]], images={0: [("raw", _photo(6, 6))]},
+                         compress=False)
+    at = payload.rfind(b"trailer")
+    broken = payload[:at] + payload[at:].replace(b"/Size", b"/Encrypt 99 0 R /Size", 1)
+    with pytest.raises(ValueError, match="encrypted"):
+        pdf_images(broken)
+
+
+def test_pdf_images_total_on_junk():
+    import random as _random
+
+    from gluon_ocr_spark.kernels.pdf import pdf_images
+
+    rng = _random.Random(42)
+    base = encode_pdf([[(72, 700, 10, "t")]], images={0: [("raw", _photo(5, 7))]})
+    for _ in range(40):
+        b = bytearray(base)
+        for _k in range(rng.randrange(1, 5)):
+            b[rng.randrange(len(b))] ^= 1 << rng.randrange(8)
+        try:
+            pdf_images(bytes(b))
+        except ValueError:
+            pass  # hopeless document: allowed; any other exception is a bug
