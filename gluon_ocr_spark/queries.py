@@ -1286,6 +1286,8 @@ def _sql_web_urls(d: str) -> str:
     ),
     canon AS (
         SELECT doc_id, url, host,
+               CASE WHEN length(path0) > 1 AND substr(path0, length(path0), 1) = '/'
+                    THEN substr(path0, 1, length(path0) - 1) ELSE path0 END AS path,
                scheme || '://' || host ||
                CASE WHEN port = '' OR (scheme = 'http' AND port = '80')
                          OR (scheme = 'https' AND port = '443')
@@ -1324,6 +1326,45 @@ def sql_web_url_dedup(d: str) -> str:
     """
 
 
+def sql_web_robots_filter(d: str) -> str:
+    """Robots-style URL filtering (crawl politeness — the drop stage
+    between URL canonicalization and fetching/keeping): per-domain
+    Allow/Disallow path-prefix rules, longest matching prefix wins,
+    tie → Allow, no match → allowed (the Google robots.txt matching
+    semantics). The rule table is a tiny literal dim — at lake scale
+    it broadcasts and the prefix match is a map-side
+    broadcast-nested-loop over an already-canonicalized projection;
+    the only window runs per doc over ≤ a handful of matched rules."""
+    rules = """
+        SELECT 'example0.com' AS rdomain, 'disallow' AS typ, '/articles/item1' AS prefix
+        UNION ALL SELECT 'example0.com', 'allow', '/articles/item12'
+        UNION ALL SELECT 'example1.com', 'disallow', '/articles'
+        UNION ALL SELECT 'example1.com', 'allow', '/articles/item2'
+        UNION ALL SELECT 'example3.com', 'disallow', '/private'
+        UNION ALL SELECT 'example4.com', 'disallow', '/articles/item20'
+    """
+    return f"""
+    WITH {_sql_web_urls(d)},
+    rules AS ({rules}),
+    matches AS (
+        SELECT c.doc_id, c.domain, c.path, r.typ, r.prefix,
+               row_number() OVER (
+                   PARTITION BY c.doc_id
+                   ORDER BY length(r.prefix) DESC, r.typ ASC, r.prefix ASC
+               ) AS rn
+        FROM canon c
+        JOIN rules r
+          ON c.domain = r.rdomain
+         AND substr(c.path, 1, length(r.prefix)) = r.prefix
+    )
+    SELECT c.doc_id, c.domain, c.path,
+           coalesce(m.prefix, '') AS matched_prefix,
+           coalesce(m.typ = 'allow', true) AS allowed
+    FROM canon c
+    LEFT JOIN (SELECT * FROM matches WHERE rn = 1) m ON m.doc_id = c.doc_id
+    """
+
+
 def sql_web_domain_stats(d: str) -> str:
     """Registrable-domain rollup (crawl curation: per-domain budgets,
     blocklists, sampling weights). Distinct-counts ride the same
@@ -1357,6 +1398,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "web_url_canonical": sql_web_url_canonical,
     "web_url_dedup": sql_web_url_dedup,
     "web_domain_stats": sql_web_domain_stats,
+    "web_robots_filter": sql_web_robots_filter,
     "sketch_kmv_distinct": sql_sketch_kmv_distinct,
     "corpus_sample_stratified": sql_corpus_sample_stratified,
     "dedup_exact": sql_dedup_exact,
