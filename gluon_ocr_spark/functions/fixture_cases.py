@@ -1118,3 +1118,34 @@ def compute_pdf_images(i: int) -> list[dict]:
 
 
 FAMILIES["kernel_pdf_images"] = (compute_pdf_images, N_CASES)
+
+
+def compute_compress_ratio(i: int) -> dict:
+    """Deflate compression-ratio quality signal over synthesized docs
+    spanning the redundancy spectrum: highly repeated tokens (low
+    ratio), natural-ish word mixes, and alphanumeric noise (ratio ≈ or
+    > 1). Uses the SAME compress_stats the Spark operator applies, so
+    the gate pins the distributed zlib execution byte-for-byte."""
+    from ..operators.textstats import compress_stats
+
+    rng = _rng("compress", i)
+    kind = i % 3
+    if kind == 0:  # templated/repetitive
+        word = "".join(chr(97 + int(c)) for c in rng.integers(0, 26, size=int(rng.integers(3, 8))))
+        text = " ".join([word] * int(rng.integers(20, 120)))
+    elif kind == 1:  # mixed prose-like
+        vocab = ["spark", "filter", "join", "window", "the", "of", "stream", "batch"]
+        text = " ".join(vocab[int(j)] for j in rng.integers(0, len(vocab), size=int(rng.integers(30, 150))))
+    else:  # incompressible noise
+        text = "".join(chr(33 + int(c)) for c in rng.integers(0, 90, size=int(rng.integers(50, 300))))
+    raw, comp, ratio = compress_stats(text)
+    return {
+        "case_id": int(i),
+        "kind": kind,
+        "n_raw_bytes": raw,
+        "n_deflate_bytes": comp,
+        "compress_ratio": ratio,
+    }
+
+
+FAMILIES["kernel_compress_ratio"] = (compute_compress_ratio, N_CASES)

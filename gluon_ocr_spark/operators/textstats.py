@@ -125,3 +125,44 @@ def with_repetition(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .drop("__bg")
     )
+
+
+def compress_stats(text: str, level: int = 6) -> tuple[int, int, float]:
+    """(raw_bytes, deflate_bytes, ratio) for one document — the
+    compression-ratio quality signal (Gopher/CCNet family): highly
+    repetitive or templated text compresses far below prose, random
+    noise barely compresses at all. zlib level 6 is pinned; the
+    output is deterministic for a given zlib, which the kernel-parity
+    fixture (committed parquet + freshness pytest) pins per container.
+    Shared verbatim by the Spark operator and the fixture oracle."""
+    import zlib
+
+    raw = text.encode("utf-8")
+    comp = zlib.compress(raw, level)
+    ratio = round(len(comp) / len(raw), 4) if raw else 1.0
+    return len(raw), len(comp), ratio
+
+
+def with_compress_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Append (n_raw_bytes, n_deflate_bytes, compress_ratio) via an
+    Arrow-batched UDF — zlib has no SQL expression form, so unlike its
+    siblings this column set is mapInPandas; the kernel gate
+    (kernel_compress_ratio) pins its distributed execution instead of
+    a DuckDB oracle."""
+    import pandas as pd
+
+    out_schema = (
+        ", ".join(f"`{c}` {t}" for c, t in zip(df.columns, (f.dataType.simpleString() for f in df.schema.fields)))
+        + ", n_raw_bytes bigint, n_deflate_bytes bigint, compress_ratio double"
+    )
+
+    def gen(batches):
+        for pdf in batches:
+            stats = [compress_stats(t if isinstance(t, str) else "") for t in pdf[text_col]]
+            pdf = pdf.copy()
+            pdf["n_raw_bytes"] = [s[0] for s in stats]
+            pdf["n_deflate_bytes"] = [s[1] for s in stats]
+            pdf["compress_ratio"] = [s[2] for s in stats]
+            yield pdf
+
+    return df.mapInPandas(gen, schema=out_schema)

@@ -422,3 +422,21 @@ def test_stratified_sample_deterministic_and_rate_shaped(spark, sf_dir):
     for lang, rate in (("en", 0.75), ("es", 0.25)):
         if lang in a and totals.get(lang, 0) >= 50:
             assert abs(a[lang] / totals[lang] - rate) < 0.2, lang
+
+
+def test_with_compress_ratio(spark):
+    import pandas as pd
+
+    from gluon_ocr_spark.operators.textstats import compress_stats, with_compress_ratio
+
+    texts = ["word " * 50, "the quick brown fox jumps over the lazy dog", "q9zX#k2!mN8vL5rT0w"]
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": range(3), "text": texts}))
+    rows = {r["doc_id"]: r for r in with_compress_ratio(df).collect()}
+    for i, t in enumerate(texts):
+        raw, comp, ratio = compress_stats(t)
+        assert rows[i]["n_raw_bytes"] == raw
+        assert rows[i]["n_deflate_bytes"] == comp
+        assert rows[i]["compress_ratio"] == ratio
+        assert rows[i]["text"] == t  # passthrough columns intact
+    # the repetitive doc compresses best
+    assert rows[0]["compress_ratio"] < rows[1]["compress_ratio"] < rows[2]["compress_ratio"]

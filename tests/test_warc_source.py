@@ -52,3 +52,33 @@ def test_write_warc_str_payload():
     recs = list(parse_warc(raw))
     assert len(recs) == 1
     assert "héllo" in recs[0]["html"].decode("utf-8")
+
+
+def test_warc_with_pdf_payloads_extracts(spark, tmp_path):
+    """PDF documents inside WARC archives (the actual Common-Crawl
+    shape for application/pdf responses) extract through the same
+    pipeline: WARC framing → payload sniff → PDF leg."""
+    from gluon_ocr_spark.kernels.pdf import encode_pdf
+    from gluon_ocr_spark.operators.extract import extract_docs
+
+    pages = []
+    for i in range(8):
+        lines = [f"pdf doc {i} line {k}" for k in range(1 + i % 3)]
+        payload = encode_pdf(
+            [[(72.0, 700.0 - 20 * k, 10.0, t) for k, t in enumerate(lines)]],
+            xref_stream=bool(i % 2),
+        )
+        pages.append({"url": f"https://pdfs.example.com/{i}.pdf", "html": payload,
+                      "expected": "\n".join(lines)})
+    # mix in an HTML record to prove per-record routing
+    html_pages = make_pages(3, seed=42)
+    records = [{"url": p["url"], "html": p["html"]} for p in pages] + html_pages
+    wdir = tmp_path / "warc"
+    wdir.mkdir()
+    (wdir / "mixed.warc.gz").write_bytes(write_warc(records, compress=True))
+
+    docs = {r["url"]: r["text"] for r in extract_docs(read_warc(spark, str(wdir / "*"))).collect()}
+    for p in pages:
+        assert docs[p["url"]] == p["expected"]
+    for p in html_pages:
+        assert docs[p["url"]] == extract_document(p["html"]).text
