@@ -682,6 +682,35 @@ def sql_ann_topk(d: str) -> str:
     """
 
 
+def sql_ann_filtered_topk(d: str) -> str:
+    """FILTERED vector search — the production ANN pattern (tenant /
+    category / language constraints riding the similarity query): for
+    each query vector, exact top-k inner product among only the
+    corpus vectors sharing the query's ``label``. The metadata
+    predicate lands INSIDE the candidate join (pre-filter, the
+    vector-DB "filtered search" semantics), not as a post-filter that
+    silently returns fewer than k. At lake scale the label equality
+    becomes the partition/bucket key, so the filtered search reads
+    one label shard instead of the full corpus."""
+    q = pt.quantize_vec("embedding", d)
+    dot = pt.int_dot("qs.qq", "e.q", d)
+    return f"""
+    WITH e AS (SELECT vec_id, label, {q} AS q FROM embeddings),
+    qs AS (SELECT vec_id AS query_id, label, q AS qq FROM e WHERE vec_id < {_N_QUERIES})
+    SELECT query_id, neighbor_id, dot, rnk
+    FROM (
+        SELECT query_id, neighbor_id, dot,
+               row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, neighbor_id) AS rnk
+        FROM (
+            SELECT qs.query_id, e.vec_id AS neighbor_id, {dot} AS dot
+            FROM qs JOIN e ON e.label = qs.label
+            WHERE e.vec_id <> qs.query_id
+        ) d0
+    ) d1
+    WHERE rnk <= {_TOP_K}
+    """
+
+
 def sql_dedup_embedding_cosine(d: str) -> str:
     """Embedding-cosine near-dup pairs with EXACT integer decision:
     cos(a,b) ≥ t  ⇔  dot > 0 ∧ dot²·10⁴ ≥ (t²·10⁴)·‖a‖²·‖b‖²,
@@ -1411,6 +1440,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "recog_bucket_keys": sql_recog_bucket_keys,
     "dedup_embedding_cosine": sql_dedup_embedding_cosine,
     "ann_topk": sql_ann_topk,
+    "ann_filtered_topk": sql_ann_filtered_topk,
     "ann_lsh_buckets": sql_ann_lsh_buckets,
     "ann_lsh_topk": sql_ann_lsh_topk,
     "ann_ivf_topk": sql_ann_ivf_topk,
