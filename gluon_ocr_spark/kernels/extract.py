@@ -48,9 +48,14 @@ def extract_document(html: bytes | str, cfg: ExtractionConfig = DEFAULT_CONFIG) 
     Payload sniff: ``%PDF-`` within the first 1 KiB routes to the PDF
     leg (:mod:`.pdf` — the north rule's "PDF/layout parse"); everything
     else takes the HTML/DOM leg. Both legs share the same T5 doc
-    assembly contract, so downstream operators never branch."""
+    assembly contract, so downstream operators never branch. A payload
+    that merely *mentions* ``%PDF-`` (an HTML page about PDFs) fails
+    PDF structural parsing and falls back to the HTML leg — the sniff
+    is a hint, not a verdict."""
     if isinstance(html, (bytes, bytearray, memoryview)) and b"%PDF-" in bytes(html[:1024]):
-        return _extract_pdf(bytes(html))
+        res = _extract_pdf(bytes(html))
+        if res is not None:
+            return res
     blocks = parse_blocks(html)
     regions = detect_regions(blocks, cfg)
 
@@ -87,22 +92,30 @@ def _f32(x: float) -> float:
     return struct.unpack("f", struct.pack("f", x))[0]
 
 
-def _extract_pdf(payload: bytes) -> ExtractResult:
+def _extract_pdf(payload: bytes) -> ExtractResult | None:
     """PDF leg: text runs → baseline lines → the same Line/ExtractResult
     contract as the HTML leg. ``tag`` is ``"pdf"``; ``order`` is the
     reading-order index (PDF lines arrive already ordered by
     :func:`gluon_ocr_spark.kernels.pdf.assemble_lines`); ``score`` is
     1.0 — PDF text is declared, not detected, so there is no detection
-    confidence to carry. Total: a damaged document yields the lines of
-    its parseable pages, a hopeless one yields the empty result."""
+    confidence to carry. Returns ``None`` when the payload is not
+    structurally a PDF at all (caller falls back to the HTML leg);
+    a STRUCTURAL pdf that is damaged or encrypted yields the lines of
+    its parseable pages (possibly none) rather than HTML-parsing
+    ciphertext/binary."""
     import zlib
 
     from .pdf import pdf_text_lines
 
     try:
         pdf_lines = pdf_text_lines(payload)
-    except (ValueError, TypeError, KeyError, RecursionError, zlib.error):
-        return ExtractResult(text="", lines=[])
+    except ValueError as e:
+        # encrypted is a real PDF: emit empty, never parse ciphertext
+        if "encrypted" in str(e):
+            return ExtractResult(text="", lines=[])
+        return None  # not actually a PDF document → HTML leg
+    except (TypeError, KeyError, RecursionError, zlib.error):
+        return None
     lines: list[Line] = []
     offset = 0
     for i, pl in enumerate(pdf_lines):

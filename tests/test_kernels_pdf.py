@@ -594,3 +594,25 @@ def test_pdf_images_total_on_junk():
             pdf_images(bytes(b))
         except ValueError:
             pass  # hopeless document: allowed; any other exception is a bug
+
+
+def test_html_mentioning_pdf_falls_back_to_html_leg():
+    from gluon_ocr_spark.kernels.extract import extract_document
+
+    html = (
+        b"<html><body><p>The magic header %PDF-1.4 marks portable documents "
+        b"and this paragraph should still extract as html text</p></body></html>"
+    )
+    res = extract_document(html)
+    assert "magic header %PDF-1.4 marks portable" in res.text
+    assert all(ln.tag != "pdf" for ln in res.lines)
+
+
+def test_encrypted_pdf_yields_empty_not_html_soup():
+    from gluon_ocr_spark.kernels.extract import extract_document
+
+    payload = encode_pdf(PAGES, compress=False)
+    at = payload.rfind(b"trailer")
+    broken = payload[:at] + payload[at:].replace(b"/Size", b"/Encrypt 99 0 R /Size", 1)
+    res = extract_document(broken)
+    assert res.text == "" and res.lines == []
