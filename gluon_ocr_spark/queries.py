@@ -1827,6 +1827,45 @@ def _oracle_dedup_clusters_simhash(d: str) -> str:
     """
 
 
+def text_dup_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator override of sql_text_dup_ngrams per the PLANS.md
+    CollapseProject rule: the SQL template's CTE is referenced twice
+    (df side + join side), so Catalyst inlines the md5 5-gram shingle
+    pass into BOTH branches (verified: 2 Generate nodes, 4 md5
+    expression sites). Persisting the exploded (doc_id, sh) projection
+    runs the expensive hash pass once — at the lake this projection is
+    the materialized shingle table every sketch consumer shares.
+    Same rows as the template/oracle."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from .functions import portable as _pt
+
+    register_views(spark, sf_dir)
+    codes = _pt.arr_distinct(_pt.shingle_codes("text", SPARK, n=5), SPARK)
+    s = spark.sql(f"SELECT doc_id, explode({codes}) AS sh FROM documents").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    df_counts = s.groupBy("sh").agg(F.count("*").alias("df"))
+    dup = F.sum(F.when(F.col("df") >= 2, 1).otherwise(0)).cast("bigint")
+    return (
+        s.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            dup.alias("n_dup_shingles"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_dup_shingles",
+            F.round(
+                F.col("n_dup_shingles").cast("double") / F.col("n_shingles"), 4
+            ).alias("dup_frac"),
+        )
+    )
+
+
 def dedup_clusters_winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CC operator composed with the THIRD candidate generator:
     clusters over the winnowing shared-fingerprint pair graph
@@ -1891,6 +1930,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["dedup_clusters_simhash"] = dedup_clusters_simhash_query
     out["dedup_clusters_winnow"] = dedup_clusters_winnow_query
     out["text_winnow_pairs"] = text_winnow_pairs_query
+    out["text_dup_ngrams"] = text_dup_ngrams_query
     # operator overrides of md5-heavy SQL templates: same rows, but a
     # persisted codes projection stops CollapseProject from inlining
     # the hash pass into every sketch expression (6.7× at sf0.1)
