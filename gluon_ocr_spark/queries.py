@@ -1553,6 +1553,90 @@ def extract_pdf_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def corpus_prep_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL corpus-prep pipeline as a driver-gated query: mixed
+    payloads (even doc_id → HTML chrome, odd → real PDF bytes — the
+    per-row payload sniff must route both), distributed extraction,
+    the quality/repetition gates, and the exact-dedup canonical-keep
+    window — i.e. :func:`gluon_ocr_spark.pipeline.prepare_corpus`'s
+    transform chain minus the write. Every stage has its own gated
+    twin; this entry gates their COMPOSITION (filter interaction,
+    post-UDF codegen fusion, dedup window over the extracted — not
+    source — text). Oracle recomputes the same gates relationally on
+    documents.text (extraction must be the identity for the pipeline
+    to agree)."""
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import drop_exact_dups
+    from .operators.extract import extract_docs
+    from .operators.textstats import with_quality, with_repetition, with_token_stats
+    from .sources.pages import wrap_documents, wrap_documents_pdf
+
+    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    even = wrap_documents(docs_tbl.where(F.col("doc_id") % 2 == 0))
+    odd = wrap_documents_pdf(docs_tbl.where(F.col("doc_id") % 2 == 1))
+    pages = even.unionByName(odd)
+    docs = with_repetition(with_quality(with_token_stats(extract_docs(pages))))
+    qualified = docs.where(
+        (F.col("n_tokens") >= 10)
+        & (F.col("n_tokens") <= 100_000)
+        & (F.col("n_chars") > 0)
+        & (F.col("dup_bigram_frac") <= 0.9)
+    )
+    deduped = drop_exact_dups(qualified, id_col="url", text_col="text")
+    return deduped.select(
+        F.split_part(F.col("url"), F.lit("doc://"), F.lit(-1)).cast("bigint").alias("doc_id"),
+        "n_tokens",
+        "dup_bigram_frac",
+        F.md5(F.lower(F.col("text"))).alias("content_fp"),
+    )
+
+
+def _oracle_corpus_prep(d: str) -> str:
+    toks = pt.tokens("text", d)
+    n = pt.arr_size(toks, d)
+    if d == SPARK:
+        bg = (
+            f"CASE WHEN size({toks}) >= 2 THEN transform(sequence(1, size({toks}) - 1), "
+            f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) ELSE array() END"
+        )
+    else:
+        bg = (
+            f"CASE WHEN len({toks}) >= 2 THEN list_transform(generate_series(1, len({toks}) - 1), "
+            f"i -> {toks}[i] || ' ' || {toks}[i + 1]) ELSE [] END"
+        )
+    nbg = pt.arr_size("bg", d)
+    ndbg = pt.arr_size(pt.arr_distinct("bg", d), d)
+    return f"""
+    WITH stats AS (
+        SELECT doc_id, text, {n} AS n_tokens, length(text) AS n_chars, {bg} AS bg
+        FROM documents
+    ),
+    rep AS (
+        SELECT doc_id, text, n_tokens, n_chars,
+               CASE WHEN {nbg} > 0
+                    THEN round(1.0 - cast({ndbg} AS double) / {nbg}, 4)
+                    ELSE 0.0 END AS dup_bigram_frac
+        FROM stats
+    ),
+    qualified AS (
+        SELECT * FROM rep
+        WHERE n_tokens >= 10 AND n_tokens <= 100000 AND n_chars > 0
+          AND dup_bigram_frac <= 0.9
+    ),
+    ranked AS (
+        SELECT doc_id, n_tokens, dup_bigram_frac, md5(lower(text)) AS content_fp,
+               row_number() OVER (
+                   PARTITION BY md5(lower(text))
+                   ORDER BY 'doc://' || cast(doc_id AS string)
+               ) AS rn
+        FROM qualified
+    )
+    SELECT doc_id, n_tokens, dup_bigram_frac, content_fp
+    FROM ranked WHERE rn = 1
+    """
+
+
 def _oracle_extract_lines(d: str) -> str:
     return """
     SELECT doc_id, 0 AS line_id, 0 AS start, length(text) AS "end", text AS line_text
@@ -1942,6 +2026,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["events_unpivot"] = events_unpivot_query
     out["extract_roundtrip"] = extract_roundtrip_query
     out["extract_pdf_roundtrip"] = extract_pdf_roundtrip_query
+    out["corpus_prep_roundtrip"] = corpus_prep_roundtrip_query
     out["extract_lines"] = extract_lines_query
     out["extract_stats"] = extract_stats_query
     out["events_session_window_native"] = events_session_window_native
@@ -1955,6 +2040,7 @@ def oracle_sql() -> dict[str, str]:
     out = {name: tmpl(DUCK) for name, tmpl in SQL_QUERIES.items()}
     out["extract_roundtrip"] = "SELECT doc_id, text FROM documents"
     out["extract_pdf_roundtrip"] = "SELECT doc_id, text FROM documents"
+    out["corpus_prep_roundtrip"] = _oracle_corpus_prep(DUCK)
     out["extract_lines"] = _oracle_extract_lines(DUCK)
     out["extract_stats"] = _oracle_extract_stats(DUCK)
     out["events_session_window_native"] = _oracle_session_window(DUCK)
