@@ -1236,6 +1236,51 @@ def sql_events_user_daily(d: str) -> str:
     """
 
 
+def sql_events_daily_spikes(d: str) -> str:
+    """Per-user activity-spike days with an INTEGER-EXACT decision:
+    flag day D for user U when ``2 * c_D * n_days >= 3 * total``
+    (the day's count is ≥ 1.5× the user's daily mean). Float z-scores
+    diverge across engines in summation-order ulps; cross-multiplied
+    int64 comparisons cannot — including exactly AT the threshold.
+    The anomaly-screening shape of an events pipeline: one groupBy
+    shuffle to days, one window per user."""
+    us = _us("date_trunc('day', ts)", d)
+    return f"""
+    WITH daily AS (
+        SELECT user_id, {us} AS day_us, count(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT user_id, day_us, n_events,
+               count(*) OVER (PARTITION BY user_id) AS n_days,
+               -- CAST: DuckDB widens windowed sum(BIGINT) to HUGEINT
+               -- (→ Arrow decimal128), which value-hashes differently
+               cast(sum(n_events) OVER (PARTITION BY user_id) AS bigint) AS total
+        FROM daily
+    )
+    SELECT user_id, day_us, n_events, n_days, total
+    FROM tot
+    WHERE 2 * n_events * n_days >= 3 * total
+    """
+
+
+def sql_text_top_tokens(d: str) -> str:
+    """Corpus-level token frequency top-100 — the vocabulary /
+    stopword-list building stage of a text pipeline. One explode +
+    one count shuffle with map-side partial aggregation; the global
+    top-k is a TakeOrderedAndProject (no full sort at scale).
+    Deterministic tiebreak: count DESC, then token ASC."""
+    explode = "explode" if d == SPARK else "unnest"
+    toks = pt.tokens("text", d)
+    return f"""
+    SELECT token, count(*) AS n
+    FROM (SELECT {explode}({toks}) AS token FROM documents) t
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 100
+    """
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing: binary payload metadata
 # ---------------------------------------------------------------------------
@@ -1461,6 +1506,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "events_quantiles": sql_events_quantiles,
     "events_hourly": sql_events_hourly,
     "events_user_daily": sql_events_user_daily,
+    "events_daily_spikes": sql_events_daily_spikes,
+    "text_top_tokens": sql_text_top_tokens,
     "multimodal_meta": sql_multimodal_meta,
 }
 
