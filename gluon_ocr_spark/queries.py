@@ -823,6 +823,34 @@ def sql_ann_ivf_nprobe2(d: str) -> str:
     """
 
 
+def sql_emb_label_centroids(d: str) -> str:
+    """Per-label embedding centroid sums — the class-prototype /
+    cluster-seed computation of an embedding pipeline (centroids for
+    IVF training, per-class means for probing). Emitted as exact
+    int64 per-dimension sums of the quantized vectors (one row per
+    label × dimension): dividing to a float mean would reintroduce
+    cross-engine ulps, and every consumer (distance ranking, cell
+    assignment) works on sums + counts unchanged. Dimension explode
+    via a literal sequence cross join (both engines index arrays
+    1-based); one shuffle on (label, dim)."""
+    q = pt.quantize_vec("embedding", d)
+    if d == SPARK:
+        dims = f"SELECT explode(sequence(1, {pt.EMB_DIM})) AS dim"
+        at = "element_at(e.q, dims.dim)"
+    else:
+        dims = f"SELECT unnest(generate_series(1, {pt.EMB_DIM})) AS dim"
+        at = "e.q[dims.dim]"
+    return f"""
+    WITH e AS (SELECT vec_id, label, {q} AS q FROM embeddings),
+    dims AS ({dims})
+    SELECT e.label, dims.dim,
+           cast(sum({at}) AS bigint) AS sum_q,
+           count(*) AS n_vecs
+    FROM e CROSS JOIN dims
+    GROUP BY e.label, dims.dim
+    """
+
+
 def sql_ann_lsh_buckets(d: str) -> str:
     """Random-hyperplane LSH bucketing of the embedding space — the
     scale path: bucket cardinalities stay bounded, so the within-bucket
@@ -1486,6 +1514,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_embedding_cosine": sql_dedup_embedding_cosine,
     "ann_topk": sql_ann_topk,
     "ann_filtered_topk": sql_ann_filtered_topk,
+    "emb_label_centroids": sql_emb_label_centroids,
     "ann_lsh_buckets": sql_ann_lsh_buckets,
     "ann_lsh_topk": sql_ann_lsh_topk,
     "ann_ivf_topk": sql_ann_ivf_topk,
