@@ -1264,6 +1264,50 @@ def sql_events_user_daily(d: str) -> str:
     """
 
 
+def sql_sketch_cms_tokens(d: str) -> str:
+    """Portable count-min sketch over the corpus token stream — the
+    streaming/heavy-hitter counterpart of the KMV distinct sketch
+    (same portability argument: engine-native approx aggregates can
+    never hash-match, md5-derived bucket hashing is bit-identical).
+    A 4×64 counter grid is built in one grouped count; the exact
+    top-10 tokens are then estimated as ``min`` over their four row
+    counters, and CMS ≥ exact by construction — the gate pins both
+    the estimates AND the overestimate invariant. At lake scale the
+    grid is a 256-cell aggregate (combinable partials per executor);
+    the 4 hashes would derive from ONE md5 per token rather than
+    four (noted; the gate favors the simpler spelled-out form)."""
+    toks = pt.tokens("text", d)
+    if d == SPARK:
+        explode_toks = f"SELECT explode({toks}) AS token FROM documents"
+        rows4 = "SELECT explode(sequence(0, 3)) AS row_i"
+    else:
+        explode_toks = f"SELECT unnest({toks}) AS token FROM documents"
+        rows4 = "SELECT unnest(generate_series(0, 3)) AS row_i"
+    h = pt.hex15("('cms' || cast(row_i AS string) || token)", d)
+    return f"""
+    WITH tok AS ({explode_toks}),
+    rows4 AS ({rows4}),
+    counters AS (
+        SELECT row_i, {h} % 64 AS bucket, count(*) AS c
+        FROM tok CROSS JOIN rows4
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT token, count(*) AS exact_n
+        FROM tok GROUP BY token ORDER BY exact_n DESC, token LIMIT 10
+    )
+    SELECT e.token, e.exact_n,
+           cast(min(c.c) AS bigint) AS cms_n,
+           min(c.c) >= e.exact_n AS never_undercounts
+    FROM exact e
+    CROSS JOIN rows4 r
+    JOIN counters c
+      ON c.row_i = r.row_i
+     AND c.bucket = {pt.hex15("('cms' || cast(r.row_i AS string) || e.token)", d)} % 64
+    GROUP BY e.token, e.exact_n
+    """
+
+
 def sql_events_daily_spikes(d: str) -> str:
     """Per-user activity-spike days with an INTEGER-EXACT decision:
     flag day D for user U when ``2 * c_D * n_days >= 3 * total``
@@ -1502,6 +1546,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "web_domain_stats": sql_web_domain_stats,
     "web_robots_filter": sql_web_robots_filter,
     "sketch_kmv_distinct": sql_sketch_kmv_distinct,
+    "sketch_cms_tokens": sql_sketch_cms_tokens,
     "corpus_sample_stratified": sql_corpus_sample_stratified,
     "dedup_exact": sql_dedup_exact,
     "dedup_token_jaccard": sql_dedup_token_jaccard,
