@@ -210,6 +210,84 @@ def extraction_run(cores: int, pages_path: str, salted: bool = True) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
+def _query_run_inproc(cores: int, name: str, replicate: int = 24) -> dict:
+    """One parallelism level of the SHUFFLE scaling job (extraction is
+    map-dominated; this pair shows how the engine's shuffles scale).
+
+    The raw sf0.1 documents table (5 000 rows) finishes in fixed
+    overhead at any core count — a scaling pair on it reads as "flat"
+    no matter how good the plan is — so the corpus is replicated
+    ``replicate``× with per-replica-distinct tokens (every token is
+    prefixed with the replica id, so the md5 work grows linearly and
+    replicas never collide into shared band buckets — a weak perturb
+    lets replicas cross-match and the self-join blows up
+    quadratically, measured >3 min at 4 cores). The measured job is
+    the minhash hash pass + band build + one band-bucket count
+    shuffle — the shuffle-bound portion whose scaling the extraction
+    pair can't show. Best-of-2."""
+    from pyspark.sql import functions as F
+
+    from gluon_ocr_spark.operators.dedup import minhash_bands
+    from gluon_ocr_spark.session import make_session
+
+    spark = make_session(
+        app=f"bench-q-{cores}", master=f"local[{cores}]", shuffle_partitions=cores * 2
+    )
+    try:
+        spark.range(0, 100000, 1, cores).selectExpr("md5(cast(id as string)) h").where(
+            "h like 'a%'"
+        ).count()
+        docs = (
+            spark.read.parquet(f"{SF_DIR}/documents.parquet")
+            .select("doc_id", "text")
+            .crossJoin(spark.range(replicate).withColumnRenamed("id", "rep"))
+            .select(
+                (F.col("doc_id") * replicate + F.col("rep")).alias("doc_id"),
+                F.regexp_replace(
+                    F.concat(F.col("rep").cast("string"), F.lit("_"), F.col("text")),
+                    " ",
+                    F.concat(F.lit(" "), F.col("rep").cast("string"), F.lit("_")),
+                ).alias("text"),
+            )
+            .repartition(cores * 2)
+            .persist()
+        )
+        docs.count()  # materialize the replicated input OUTSIDE the timed job
+        best = None
+        n_rows = 0
+        for _ in range(2):
+            t0 = time.time()
+            n_rows = (
+                minhash_bands(docs, materialize_codes=False)
+                .groupBy("band_id", "band_key")
+                .count()
+                .count()
+            )
+            dt = time.time() - t0
+            if best is None or dt < best:
+                best = dt
+    finally:
+        spark.stop()
+    return {"cores": cores, "sec": round(best, 2), "buckets": int(n_rows), "replicate": replicate}
+
+
+def query_run(cores: int, name: str) -> dict:
+    """Fresh-subprocess wrapper (same reasoning as extraction_run:
+    a reused JVM measures 2-3x slower and inverts scaling)."""
+    import subprocess
+
+    env = dict(os.environ)
+    env.setdefault("SPARK_DRIVER_MEMORY", "16g")
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--query-level", str(cores), name],
+        capture_output=True,
+        text=True,
+        check=True,
+        env=env,
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
 def main() -> None:
     from gluon_ocr_spark.session import make_session
     from gluon_ocr_spark import queries as qmod
@@ -261,6 +339,20 @@ def main() -> None:
         s_hi = extraction_run(HI_LEVEL, pages_path, salted=True)
         extraction["salted_pair"] = _pair(s_lo, s_hi)
 
+    # -- shuffle-job scaling pair (secondary two-level evidence) -----
+    # dedup_minhash_pairs: hash pass + band shuffle + self-join —
+    # the shuffle-bound complement to the map-bound extraction pair.
+    if os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_PAIR", "1") == "1":
+        q_lo = query_run(LO_LEVEL, "dedup_minhash_pairs")
+        q_hi = query_run(HI_LEVEL, "dedup_minhash_pairs")
+        factor = HI_LEVEL / LO_LEVEL
+        extraction["shuffle_pair"] = {
+            "query": "dedup_minhash_pairs",
+            "lo": q_lo,
+            "hi": q_hi,
+            "scaling_efficiency": round((q_lo["sec"] / q_hi["sec"]) / factor, 3),
+        }
+
     # -- query battery ----------------------------------------------
     spark = make_session(app="bench-queries", master=f"local[{CPUS}]", shuffle_partitions=CPUS)
     qtimes: dict[str, float] = {}
@@ -296,5 +388,7 @@ if __name__ == "__main__":
     if len(sys.argv) >= 4 and sys.argv[1] == "--extract-level":
         salted = len(sys.argv) < 5 or sys.argv[4] != "presalted"
         print(json.dumps(_extraction_run_inproc(int(sys.argv[2]), sys.argv[3], salted=salted)))
+    elif len(sys.argv) >= 4 and sys.argv[1] == "--query-level":
+        print(json.dumps(_query_run_inproc(int(sys.argv[2]), sys.argv[3])))
     else:
         main()
