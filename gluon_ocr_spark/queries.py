@@ -1264,6 +1264,52 @@ def sql_events_user_daily(d: str) -> str:
     """
 
 
+def sql_text_pii_scrub(d: str) -> str:
+    """PII scrubbing — the redaction stage a pre-training pipeline
+    runs before anything else sees the text: emails → ``<EMAIL>``,
+    IPv4 literals → ``<IP>``, +digit phone shapes → ``<PHONE>``.
+    Patterns use the RE2 ∩ Java-identical subset (no lookaround, no
+    unicode classes). The corpus text carries no PII, so each doc is
+    deterministically salted with synthetic PII derived from doc_id —
+    the scrubber then parses the TEXT generically, and the gate pins
+    both the redacted output and the per-kind counts. Map-only."""
+    # no backslashes: Spark SQL string literals eat unknown escapes
+    # while DuckDB keeps them — bracket classes sidestep the whole
+    # dialect divergence ([.] = literal dot, [+] = literal plus)
+    email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z][A-Za-z]+"
+    ip = "([0-9]{1,3}[.]){3}[0-9]{1,3}"
+    phone = "[+][0-9]{2}[0-9 ]{7,12}[0-9]"
+    b = "cast(doc_id % 250 AS string)"
+    salted = (
+        f"text || ' contact user' || {b} || '@mail' || cast(doc_id % 7 AS string) || '.example.org'"
+        f" || ' from 10.' || {b} || '.0.' || cast(doc_id % 9 AS string)"
+        f" || CASE WHEN doc_id % 3 = 0 THEN ' call +49 30 ' || {b} || '5550' ELSE '' END"
+    )
+
+    def _count(pat: str) -> str:
+        if d == SPARK:
+            return f"size(regexp_extract_all(salted, '{pat}', 0))"
+        return f"len(regexp_extract_all(salted, '{pat}'))"
+
+    def _sub(expr: str, pat: str, repl: str) -> str:
+        # DuckDB replaces only the first match without the 'g' flag;
+        # Spark always replaces all
+        if d == SPARK:
+            return f"regexp_replace({expr}, '{pat}', '{repl}')"
+        return f"regexp_replace({expr}, '{pat}', '{repl}', 'g')"
+
+    scrubbed = _sub(_sub(_sub("salted", email, "<EMAIL>"), ip, "<IP>"), phone, "<PHONE>")
+    return f"""
+    WITH s AS (SELECT doc_id, {salted} AS salted FROM documents)
+    SELECT doc_id,
+           {scrubbed} AS scrubbed,
+           {_count(email)} AS n_emails,
+           {_count(ip)} AS n_ips,
+           {_count(phone)} AS n_phones
+    FROM s
+    """
+
+
 def sql_sketch_cms_tokens(d: str) -> str:
     """Portable count-min sketch over the corpus token stream — the
     streaming/heavy-hitter counterpart of the KMV distinct sketch
@@ -1511,6 +1557,54 @@ def sql_web_robots_filter(d: str) -> str:
     """
 
 
+def sql_web_pagerank(d: str) -> str:
+    """Two unrolled PageRank iterations over a synthetic link graph —
+    link analysis for crawl prioritization, the classic iterative-
+    equi-join web computation (each iteration = one join-aggregate,
+    exactly the CC round shape). All arithmetic is INTEGER: ranks are
+    parts-per-million (start 10^6), per-edge contributions use floor
+    division by out-degree, and the damping step is
+    ``150000 + (850000 · Σcontrib) div 10^6`` — float PR would
+    diverge across engines in reduction-order ulps, integer PR cannot
+    (worst products ≲ 4·10^15 ≪ 2^63). Links derive from doc_id via
+    three affine formulas mod N (UNION-deduped; self-links kept, no
+    dangling nodes by construction)."""
+    idiv = "div" if d == SPARK else "//"
+    edge = (
+        "SELECT doc_id AS u, (doc_id * 7 + 1) % n.n AS v FROM documents CROSS JOIN n"
+        " UNION SELECT doc_id, (doc_id * 13 + 2) % n.n FROM documents CROSS JOIN n"
+        " UNION SELECT doc_id, (doc_id * 31 + 5) % n.n FROM documents CROSS JOIN n"
+    )
+
+    def step(prev: str, out: str) -> str:
+        return f"""
+    c_{out} AS (
+        SELECT e.v AS node,
+               cast(sum({prev}.r {idiv} o.deg) AS bigint) AS contrib
+        FROM edges e
+        JOIN {prev} ON {prev}.node = e.u
+        JOIN outdeg o ON o.u = e.u
+        GROUP BY e.v
+    ),
+    {out} AS (
+        SELECT {prev}.node,
+               cast(150000 + (850000 * coalesce(c_{out}.contrib, 0)) {idiv} 1000000
+                    AS bigint) AS r
+        FROM {prev} LEFT JOIN c_{out} ON c_{out}.node = {prev}.node
+    )"""
+
+    return f"""
+    WITH n AS (SELECT count(*) AS n FROM documents),
+    edges AS ({edge}),
+    outdeg AS (SELECT u, count(*) AS deg FROM edges GROUP BY u),
+    r0 AS (SELECT doc_id AS node, cast(1000000 AS bigint) AS r FROM documents),
+    {step("r0", "r1")},
+    {step("r1", "r2")}
+    SELECT r2.node AS doc_id, r1.r AS rank_ppm_1, r2.r AS rank_ppm_2
+    FROM r2 JOIN r1 ON r1.node = r2.node
+    """
+
+
 def sql_web_domain_stats(d: str) -> str:
     """Registrable-domain rollup (crawl curation: per-domain budgets,
     blocklists, sampling weights). Distinct-counts ride the same
@@ -1541,10 +1635,12 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_winnow": sql_text_winnow,
     "text_winnow_pairs": sql_text_winnow_pairs,
     "text_dup_ngrams": sql_text_dup_ngrams,
+    "text_pii_scrub": sql_text_pii_scrub,
     "web_url_canonical": sql_web_url_canonical,
     "web_url_dedup": sql_web_url_dedup,
     "web_domain_stats": sql_web_domain_stats,
     "web_robots_filter": sql_web_robots_filter,
+    "web_pagerank": sql_web_pagerank,
     "sketch_kmv_distinct": sql_sketch_kmv_distinct,
     "sketch_cms_tokens": sql_sketch_cms_tokens,
     "corpus_sample_stratified": sql_corpus_sample_stratified,
