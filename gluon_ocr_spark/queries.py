@@ -1264,6 +1264,39 @@ def sql_events_user_daily(d: str) -> str:
     """
 
 
+def sql_corpus_decontaminate(d: str) -> str:
+    """Benchmark decontamination — the eval-overlap screen every
+    serious pretraining corpus runs (per GPT-3 §C / PaLM app.): flag
+    training documents sharing word-5-gram shingles with the eval
+    set. The eval set here is the deterministic 2% slice
+    ``doc_id % 50 = 0`` (eval docs screen themselves out — a doc
+    trivially overlaps itself, so eval members are excluded from the
+    training side). One shingle equi-join against the (small) eval
+    shingle table — at lake scale the eval side broadcasts and the
+    screen is map-side; emits overlap counts ≥ 3 (the contamination
+    threshold), distinct eval docs hit, and the worst single-doc
+    overlap."""
+    codes = pt.arr_distinct(pt.shingle_codes("text", d, n=5), d)
+    explode = "explode" if d == SPARK else "unnest"
+    return f"""
+    WITH sh AS (SELECT doc_id, {explode}({codes}) AS sh FROM documents),
+    eval_sh AS (SELECT doc_id AS eval_id, sh FROM sh WHERE doc_id % 50 = 0),
+    train_sh AS (SELECT doc_id, sh FROM sh WHERE doc_id % 50 <> 0),
+    hits AS (
+        SELECT t.doc_id, e.eval_id, count(*) AS n_shared
+        FROM train_sh t JOIN eval_sh e ON t.sh = e.sh
+        GROUP BY t.doc_id, e.eval_id
+    )
+    SELECT doc_id,
+           cast(sum(n_shared) AS bigint) AS n_overlap_shingles,
+           count(*) AS n_eval_docs_hit,
+           cast(max(n_shared) AS bigint) AS worst_single_overlap
+    FROM hits
+    GROUP BY doc_id
+    HAVING max(n_shared) >= 3
+    """
+
+
 def sql_text_pii_scrub(d: str) -> str:
     """PII scrubbing — the redaction stage a pre-training pipeline
     runs before anything else sees the text: emails → ``<EMAIL>``,
@@ -1636,6 +1669,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_winnow_pairs": sql_text_winnow_pairs,
     "text_dup_ngrams": sql_text_dup_ngrams,
     "text_pii_scrub": sql_text_pii_scrub,
+    "corpus_decontaminate": sql_corpus_decontaminate,
     "web_url_canonical": sql_web_url_canonical,
     "web_url_dedup": sql_web_url_dedup,
     "web_domain_stats": sql_web_domain_stats,
