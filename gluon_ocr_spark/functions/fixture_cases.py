@@ -1149,3 +1149,101 @@ def compute_compress_ratio(i: int) -> dict:
 
 
 FAMILIES["kernel_compress_ratio"] = (compute_compress_ratio, N_CASES)
+
+
+def compute_pdf_structs(i: int) -> dict:
+    """Driver-gate coverage for the PDF parser's HARDENING paths that
+    the encoder never emits on its own — built here by deterministic
+    byte surgery on encoder output, exactly like the unit tests:
+
+    * ``rot``: /Rotate spliced into the page dict (90/180/270) —
+      reading order must follow the DISPLAYED orientation;
+    * ``incr``: an incremental update appending a revised content
+      object + a second xref with /Prev — the newer object wins;
+    * ``scan``: corrupted startxref offset — the brute-force object
+      scan must still recover the document;
+    * ``badlen``: /Length lies — the endstream search fallback.
+    """
+    from ..kernels.pdf import encode_pdf, pdf_text_lines
+
+    rng = _rng("pdfstruct", i)
+    kind = ("rot90", "rot180", "rot270", "incr", "scan", "badlen")[i % 6]
+    lines = [
+        " ".join(
+            _PDF_WORDS[int(j)] for j in rng.integers(0, len(_PDF_WORDS), size=int(rng.integers(2, 5)))
+        )
+        for _ in range(int(rng.integers(2, 5)))
+    ]
+    expected = list(lines)
+    if kind in ("rot90", "rot270"):
+        # sideways-drawn text (rotated Tm) + the matching /Rotate:
+        # the displayed page reads upright. Lines sit at distinct
+        # user-space x (vertical baselines); under /Rotate they map
+        # to distinct display baselines in k order.
+        if kind == "rot90":
+            runs = [(72.0 + 20.0 * k, 72.0, 10.0, t) for k, t in enumerate(lines)]
+            mat = b"0 1 -1 0 "
+        else:
+            runs = [(300.0 - 20.0 * k, 72.0, 10.0, t) for k, t in enumerate(lines)]
+            mat = b"0 -1 1 0 "
+        base = encode_pdf([runs], compress=False, variant="tm")
+        payload = base.replace(b"1 0 0 1 ", mat).replace(
+            b"<< /Type /Page ", b"<< /Type /Page /Rotate " + kind[3:].encode() + b" ", 1
+        )
+    else:
+        base = encode_pdf(
+            [[(72.0, 700.0 - 20.0 * k, 10.0, t) for k, t in enumerate(lines)]], compress=False
+        )
+    if kind in ("rot90", "rot270"):
+        pass  # payload built above
+    elif kind == "rot180":
+        payload = base.replace(
+            b"<< /Type /Page ", b"<< /Type /Page /Rotate 180 ", 1
+        )
+        expected = expected[::-1]
+    elif kind == "incr":
+        # the encoder writes content streams first: a one-page doc's
+        # content is object 1 (searching by text bytes would miss when
+        # the line begins with an escaped character)
+        objnum = 1
+        new_text = "revised final line " + str(i)
+        stream = ("BT /F1 10 Tf 72 640 Td (" + new_text + ") Tj ET").encode()
+        body = (
+            f"{objnum} 0 obj\n<< /Length {len(stream)} >>\nstream\n".encode()
+            + stream + b"\nendstream\nendobj\n"
+        )
+        old_xref = base.rfind(b"xref")
+        root_at = base.find(b"/Root ") + 6
+        root_num = int(base[root_at : base.find(b" ", root_at)])
+        updated = base + body
+        payload = updated + (
+            b"xref\n0 1\n0000000000 65535 f \n"
+            + f"{objnum} 1\n{len(base):010d} 00000 n \n".encode()
+            + b"trailer\n<< /Size 99 /Root " + str(root_num).encode()
+            + b" 0 R /Prev " + str(old_xref).encode() + b" >>\nstartxref\n"
+            + str(len(updated)).encode() + b"\n%%EOF\n"
+        )
+        # the revised object replaces the whole page's content stream
+        expected = [new_text]
+    elif kind == "scan":
+        at = base.rfind(b"startxref")
+        payload = base[:at] + b"startxref\n999999999\n%%EOF\n"
+    else:  # badlen
+        at = base.find(b"/Length ")
+        end = at + 8
+        while chr(base[end]).isdigit():
+            end += 1
+        payload = base[:at] + b"/Length 999999" + base[end:]
+    got = [ln.text for ln in pdf_text_lines(payload)]
+    if got != expected:
+        raise AssertionError(f"pdf struct path drift (case {i}, {kind}): {got!r}")
+    return {
+        "case_id": int(i),
+        "kind": kind,
+        "n_bytes": len(payload),
+        "n_lines": len(got),
+        "text": "\n".join(got),
+    }
+
+
+FAMILIES["kernel_pdf_structs"] = (compute_pdf_structs, N_CASES)

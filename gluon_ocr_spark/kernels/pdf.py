@@ -518,6 +518,7 @@ class PdfDocument:
         self._cache: dict[int, object] = {}
         self._offsets: dict[int, int] = {}  # objnum → byte offset
         self._in_objstm: dict[int, tuple[int, int]] = {}  # objnum → (stm num, idx)
+        self._rescanned = False
         self.trailer: dict = {}
         try:
             self._load_xref()
@@ -669,7 +670,24 @@ class PdfDocument:
             return self._cache[num]
         self._cache[num] = None  # cycle guard
         if num in self._offsets:
-            _n, _g, obj = self._parse_indirect_at(self._offsets[num])
+            try:
+                got_num, _g, obj = self._parse_indirect_at(self._offsets[num])
+                if got_num != num:
+                    raise ValueError(f"pdf: xref offset for {num} points at {got_num}")
+            except ValueError:
+                # stale xref (edited/truncated file shifted the byte
+                # offsets but left the table parseable): rebuild the
+                # offset map by scanning once, then retry
+                if self._rescanned:
+                    raise
+                self._rescanned = True
+                self._offsets.clear()
+                self._scan_objects()
+                # drop everything already parsed from stale offsets;
+                # None entries are in-flight cycle guards — keep them
+                self._cache = {k: v for k, v in self._cache.items() if v is None}
+                del self._cache[num]
+                return self.get(num)
         elif num in self._in_objstm:
             stm_num, idx = self._in_objstm[num]
             obj = self._objstm_member(stm_num, idx)

@@ -106,6 +106,9 @@ SCHEMAS = {
         "case_id bigint, det_img_sum bigint, det_h bigint, det_w bigint, "
         "det_geom_op bigint, det_poly_digest double, rec_img_sum bigint, rec_ops string"
     ),
+    "kernel_pdf_structs": (
+        "case_id bigint, kind string, n_bytes bigint, n_lines bigint, text string"
+    ),
     "kernel_compress_ratio": (
         "case_id bigint, kind bigint, n_raw_bytes bigint, n_deflate_bytes bigint, "
         "compress_ratio double"
