@@ -24,6 +24,12 @@ def main() -> None:
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--out", required=True, help="output warehouse dir (docs + _lineage)")
     ap.add_argument("--partitions", type=int, default=None, help="salt-repartition width (defaults to cluster parallelism)")
+    ap.add_argument(
+        "--payload",
+        choices=("html", "pdf", "mixed"),
+        default="html",
+        help="synthetic payload format (--synthetic only); the extraction sniff routes per row",
+    )
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -34,7 +40,7 @@ def main() -> None:
     spark = make_session(app="gluon-ocr-spark-extract", master=args.master)
     try:
         if args.synthetic:
-            pages = pages_dataframe(spark, args.synthetic, seed=args.seed)
+            pages = pages_dataframe(spark, args.synthetic, seed=args.seed, payload=args.payload)
         elif args.pages:
             pages = spark.read.parquet(args.pages)
         else:

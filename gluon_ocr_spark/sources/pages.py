@@ -185,26 +185,47 @@ def make_pages(n: int, seed: int = 42) -> list[dict]:
 PAGES_SCHEMA = "url string, warc_ts timestamp, html binary, text string, lang string"
 
 
-def pages_dataframe(spark, n: int, seed: int = 42, partitions: int | None = None):
+def pages_dataframe(spark, n: int, seed: int = 42, partitions: int | None = None, payload: str = "html"):
     """Distributed pages source: generation runs on executors via
     ``mapInPandas`` over ``spark.range`` — the local stand-in for the
     Iceberg `pages` scan, shaped so swapping in
-    ``spark.read.format("iceberg")`` is a one-line change."""
+    ``spark.read.format("iceberg")`` is a one-line change.
+
+    ``payload`` selects the synthetic byte format: ``html`` (chrome
+    around the truth text), ``pdf`` (a real PDF of the truth text,
+    one line per paragraph), or ``mixed`` (page_id parity — the shape
+    of an actual crawl, where the extraction sniff routes per row).
+    The ``text`` column stays the ground truth either way; for PDF
+    payloads extraction recovers it because each paragraph is a page
+    line and assembly joins lines with newlines (the same contract
+    the HTML leg pins)."""
     import pandas as pd
 
     if partitions is None:
         partitions = max(1, spark.sparkContext.defaultParallelism)
 
+    def _payload_bytes(i: int, r: dict) -> bytes:
+        kind = payload if payload != "mixed" else ("pdf" if i % 2 else "html")
+        if kind != "pdf":
+            return r["html"]
+        from ..kernels.pdf import encode_pdf
+
+        runs = [
+            (72.0, 740.0 - 14.0 * k, 10.0, line)
+            for k, line in enumerate(r["text"].split("\n"))
+        ]
+        return encode_pdf([runs], xref_stream=bool(i % 4 == 3))
+
     def gen(batches):
         for pdf in batches:
-            rows = [make_page(int(i), seed) for i in pdf["id"]]
+            rows = [(int(i), make_page(int(i), seed)) for i in pdf["id"]]
             yield pd.DataFrame(
                 {
-                    "url": [r["url"] for r in rows],
-                    "warc_ts": [r["warc_ts"] for r in rows],
-                    "html": [r["html"] for r in rows],
-                    "text": [r["text"] for r in rows],
-                    "lang": [r["lang"] for r in rows],
+                    "url": [r["url"] for _i, r in rows],
+                    "warc_ts": [r["warc_ts"] for _i, r in rows],
+                    "html": [_payload_bytes(i, r) for i, r in rows],
+                    "text": [r["text"] for _i, r in rows],
+                    "lang": [r["lang"] for _i, r in rows],
                 }
             )
 

@@ -31,3 +31,18 @@ def test_cli_synthetic_job_and_resume(tmp_path):
     assert r2.returncode == 0, r2.stderr[-2000:]
     stats2 = json.loads(r2.stdout.strip().splitlines()[-1])
     assert stats2["urls_processed"] == 0
+
+
+def test_cli_mixed_pdf_payloads(spark, tmp_path):
+    """--payload mixed: synthetic corpus where odd pages are real PDF
+    bytes; the lineage job extracts both legs byte-identically."""
+    from gluon_ocr_spark.plans.lineage import ExtractionJob
+    from gluon_ocr_spark.sources.pages import make_pages, pages_dataframe
+
+    out = str(tmp_path / "wh")
+    pages = pages_dataframe(spark, 40, seed=42, partitions=4, payload="mixed")
+    stats = ExtractionJob(out, num_partitions=4).run(spark, pages)
+    assert stats["urls_processed"] == 40
+    got = {r["url"]: r["text"] for r in spark.read.parquet(f"{out}/docs/*").collect()}
+    exp = {p["url"]: p["text"] for p in make_pages(40, 42)}
+    assert got == exp
