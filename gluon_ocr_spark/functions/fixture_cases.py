@@ -1212,7 +1212,7 @@ def compute_pdf_structs(i: int) -> dict:
             f"{objnum} 0 obj\n<< /Length {len(stream)} >>\nstream\n".encode()
             + stream + b"\nendstream\nendobj\n"
         )
-        old_xref = base.rfind(b"xref")
+        old_xref = base.rfind(b"\nxref\n") + 1  # NOT rfind(b"xref"): that hits "startxref"
         root_at = base.find(b"/Root ") + 6
         root_num = int(base[root_at : base.find(b" ", root_at)])
         updated = base + body

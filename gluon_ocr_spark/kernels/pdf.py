@@ -465,7 +465,13 @@ def decode_stream(doc: "PdfDocument | None", stream: PdfStream) -> bytes:
         filters = [filters]
     parms = resolve(d.get("DecodeParms", d.get("DP")))
     if not isinstance(parms, list):
-        parms = [parms] * len(filters)
+        # a lone dict pairs with the FIRST filter only — replicating it
+        # would apply e.g. a Flate /Predictor after every other filter
+        parms = [parms]
+    if len(parms) < len(filters):
+        # lenient producers emit short DecodeParms arrays; zip() would
+        # silently SKIP the unpaired trailing filters
+        parms = parms + [None] * (len(filters) - len(parms))
     data = stream.raw
     for f, p in zip(filters, parms):
         p = resolve(p) or {}
@@ -499,7 +505,10 @@ def decode_stream(doc: "PdfDocument | None", stream: PdfStream) -> bytes:
 # document
 # ---------------------------------------------------------------------------
 
-_OBJ_RE = re.compile(rb"(\d{1,10})[\x00\t\n\x0c\r ]+(\d{1,5})[\x00\t\n\x0c\r ]+obj\b")
+# anchored to line starts: "N G obj" byte patterns occur INSIDE stream
+# data too (a PDF about PDFs, or binary payloads) — real producers and
+# our writer always put the object header at a line start
+_OBJ_RE = re.compile(rb"(?m)^[\x00\t ]*(\d{1,10})[\x00\t ]+(\d{1,5})[\x00\t ]+obj\b")
 
 
 class PdfDocument:
@@ -669,46 +678,71 @@ class PdfDocument:
         if num in self._cache:
             return self._cache[num]
         self._cache[num] = None  # cycle guard
-        if num in self._offsets:
-            try:
-                got_num, _g, obj = self._parse_indirect_at(self._offsets[num])
-                if got_num != num:
-                    raise ValueError(f"pdf: xref offset for {num} points at {got_num}")
-            except ValueError:
-                # stale xref (edited/truncated file shifted the byte
-                # offsets but left the table parseable): rebuild the
-                # offset map by scanning once, then retry
-                if self._rescanned:
-                    raise
+        try:
+            if num in self._offsets:
+                obj = self._get_by_offset(num)
+            elif num in self._in_objstm:
+                stm_num, idx = self._in_objstm[num]
+                obj = self._objstm_member(stm_num, idx)
+            else:
+                raise KeyError(f"pdf: object {num} not found")
+        except Exception:
+            # never leave the cycle guard behind: a later retry (e.g.
+            # after a nested fetch triggered the rescan) must re-parse,
+            # not read a poisoned None
+            self._cache.pop(num, None)
+            raise
+        self._cache[num] = obj
+        return obj
+
+    def _get_by_offset(self, num: int):
+        offset = self._offsets[num]
+        try:
+            got_num, _g, obj = self._parse_indirect_at(offset)
+            if got_num != num:
+                raise ValueError(f"pdf: xref offset for {num} points at {got_num}")
+            return obj
+        except ValueError:
+            # stale xref (edited/truncated file shifted the byte
+            # offsets but left the table parseable): rebuild the offset
+            # map by scanning once, then retry. A nested fetch may have
+            # already rescanned while this frame was mid-parse — in
+            # that case retry iff the rescan moved THIS object.
+            if not self._rescanned:
                 self._rescanned = True
                 self._offsets.clear()
                 self._scan_objects()
                 # drop everything already parsed from stale offsets;
                 # None entries are in-flight cycle guards — keep them
                 self._cache = {k: v for k, v in self._cache.items() if v is None}
-                del self._cache[num]
-                return self.get(num)
-        elif num in self._in_objstm:
-            stm_num, idx = self._in_objstm[num]
-            obj = self._objstm_member(stm_num, idx)
-        else:
-            raise KeyError(f"pdf: object {num} not found")
-        self._cache[num] = obj
-        return obj
+            if self._offsets.get(num, offset) == offset:
+                raise
+            got_num, _g, obj = self._parse_indirect_at(self._offsets[num])
+            if got_num != num:
+                raise ValueError(f"pdf: rescanned offset for {num} points at {got_num}")
+            return obj
 
     def _objstm_member(self, stm_num: int, idx: int):
-        stm = self.get(stm_num)
-        if not isinstance(stm, PdfStream):
-            raise ValueError("pdf: ObjStm is not a stream")
-        data = decode_stream(self, stm)
-        n = int(self.resolve(stm.dict["N"]))
-        first = int(self.resolve(stm.dict["First"]))
-        hp = _Parser(data, 0)
-        pairs = []
-        for _ in range(n):
-            onum = hp.parse_object()
-            ooff = hp.parse_object()
-            pairs.append((int(onum), int(ooff)))
+        cached = getattr(self, "_objstm_cache", None)
+        if cached is None:
+            cached = self._objstm_cache = {}
+        if stm_num not in cached:
+            stm = self.get(stm_num)
+            if not isinstance(stm, PdfStream):
+                raise ValueError("pdf: ObjStm is not a stream")
+            data = decode_stream(self, stm)
+            n = int(self.resolve(stm.dict["N"]))
+            first = int(self.resolve(stm.dict["First"]))
+            hp = _Parser(data, 0)
+            pairs = []
+            for _ in range(n):
+                onum = hp.parse_object()
+                ooff = hp.parse_object()
+                pairs.append((int(onum), int(ooff)))
+            # cache the inflated bytes + header: fetching K members of
+            # one ObjStm must not re-decompress the stream K times
+            cached[stm_num] = (data, first, pairs)
+        data, first, pairs = cached[stm_num]
         if idx >= len(pairs):
             raise ValueError("pdf: ObjStm index out of range")
         op = _Parser(data, first + pairs[idx][1])
@@ -805,15 +839,12 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
     """bfchar/bfrange sections of a ToUnicode CMap → {code: str}."""
     cmap: dict[int, str] = {}
     p = _Parser(data, 0)
-    stack: list = []
     while p.pos < p.n:
         try:
             tok = p.parse_object()
         except ValueError:
             break
-        if tok == "endbfchar" or tok == "endbfrange" or tok == "endcodespacerange":
-            stack = []
-        elif tok == "beginbfchar":
+        if tok == "beginbfchar":
             ops = []
             while True:
                 o = p.parse_object()
@@ -845,8 +876,6 @@ def _parse_tounicode(data: bytes) -> dict[int, str]:
                     for j, item in enumerate(dst):
                         if isinstance(item, bytes) and lo_i + j <= hi_i:
                             cmap[lo_i + j] = item.decode("utf-16-be", "replace")
-        else:
-            stack.append(tok)
     return cmap
 
 
@@ -1031,6 +1060,7 @@ class _TextExtractor:
         word_sp = 0.0
         hscale = 1.0
         leading = 0.0
+        rise = 0.0
         tm = tlm = _ID_MAT
         in_text = False
 
@@ -1039,7 +1069,10 @@ class _TextExtractor:
             if font is None or not isinstance(raw, bytes):
                 return
             trm = _mat_mul(tm, ctm)
-            x0, y0 = trm[4], trm[5]
+            # Ts rise shifts the glyph origin by (0, rise) in text
+            # space: transform through trm's linear part
+            x0 = trm[4] + rise * trm[2]
+            y0 = trm[5] + rise * trm[3]
             # a glyph is `size` tall in text space (Tf size is not part
             # of Tm); device size = size × |trm y-basis (c, d)|
             dev_size = size * (trm[2] ** 2 + trm[3] ** 2) ** 0.5
@@ -1095,6 +1128,8 @@ class _TextExtractor:
                     word_sp = float(stack[-1])
                 elif op == "Tz" and stack:
                     hscale = float(stack[-1]) / 100.0
+                elif op == "Ts" and stack:
+                    rise = float(stack[-1])
                 elif op == "Tj" and stack and in_text:
                     show(stack[-1])
                 elif op == "'" and stack and in_text:
@@ -1117,10 +1152,13 @@ class _TextExtractor:
                                 dx = -float(item) / 1000.0 * size * hscale
                                 tm = _mat_mul((1, 0, 0, 1, dx, 0), tm)
                 elif op == "q":
-                    gs_stack.append(ctm)
+                    # ISO 32000-1 §8.4: the saved graphics state spans
+                    # the text-state parameters too, not just the CTM —
+                    # a font/Tc set inside q…Q must not leak past the Q
+                    gs_stack.append((ctm, font, size, char_sp, word_sp, hscale, leading, rise))
                 elif op == "Q":
                     if gs_stack:
-                        ctm = gs_stack.pop()
+                        ctm, font, size, char_sp, word_sp, hscale, leading, rise = gs_stack.pop()
                 elif op == "cm" and len(stack) >= 6:
                     ctm = _mat_mul(tuple(float(v) for v in stack[-6:]), ctm)
                 elif op == "Do" and stack:
@@ -1134,9 +1172,23 @@ class _TextExtractor:
                         sub_res = doc.resolve(xo.dict.get("Resources")) or resources
                         self._exec(decode_stream(doc, xo), sub_res, sub_ctm, depth + 1)
                 elif op == "BI":
-                    # inline image: skip to EI (after the ID binary blob)
+                    # inline image: skip past the ID binary blob to a
+                    # DELIMITED EI — the raw pixels can contain the two
+                    # bytes 'EI', and resuming there would feed binary
+                    # to the parser (a stray '(' then swallows real text)
                     at = data.find(b"ID", p.pos)
-                    end = data.find(b"EI", at + 2) if at != -1 else -1
+                    end = -1
+                    search = at + 3 if at != -1 else -1
+                    while search != -1:
+                        cand = data.find(b"EI", search)
+                        if cand == -1:
+                            break
+                        before_ws = cand > 0 and data[cand - 1] in _WS
+                        after = data[cand + 2 : cand + 3]
+                        if before_ws and (not after or after[0] in _WS or after[0] in _DELIM):
+                            end = cand
+                            break
+                        search = cand + 2
                     if end == -1:
                         break
                     p.pos = end + 2
