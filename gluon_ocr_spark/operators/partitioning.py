@@ -25,9 +25,20 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def salt_partition(df: DataFrame, num_partitions: int, key: str = "url") -> DataFrame:
-    """Uniform salt-hash repartition; one shuffle, scales to any row count."""
-    salt = F.pmod(F.xxhash64(F.col(key)), F.lit(num_partitions)).alias("__salt")
-    return df.withColumn("__salt", salt).repartition(num_partitions, "__salt").drop("__salt")
+    """Uniform salt-hash repartition; one shuffle, scales to any row count.
+
+    The salt keeps the FULL xxhash64 range: reducing it to ``n``
+    classes first (``pmod(hash, n)``) and then letting
+    ``repartition(n, col)`` murmur-hash those n class values is
+    balls-in-bins — ~1/e of the partitions come out empty and others
+    carry 2-3 classes (the same trap `_class_representatives`
+    documents for binpack). With full-range salts every row places
+    independently, so per-partition row counts are multinomial-tight."""
+    return (
+        df.withColumn("__salt", F.xxhash64(F.col(key)))
+        .repartition(num_partitions, "__salt")
+        .drop("__salt")
+    )
 
 
 def _class_representatives(spark, num_partitions: int) -> list[int]:
