@@ -1247,3 +1247,67 @@ def compute_pdf_structs(i: int) -> dict:
 
 
 FAMILIES["kernel_pdf_structs"] = (compute_pdf_structs, N_CASES)
+
+
+# -- BPE merge tokenizer (token counting — the training-data currency) --------
+
+
+def compute_bpe(i: int) -> dict:
+    """Real BPE merge-loop encoding (kernels/bpe.py) over texts that
+    exercise every pre-token class: in-vocab words (merge down to few
+    symbols), out-of-vocab words (stay byte-ish), contractions,
+    digit runs, punctuation runs, and unicode (multi-byte UTF-8).
+    Pins: pre-token count vs merged count, the id stream digest, and
+    losslessness (decode == text, asserted here so a broken merge
+    loop can't silently ship a fixture)."""
+    from ..kernels.bpe import (
+        decode,
+        default_ranks,
+        default_vocab,
+        encode,
+        encode_ids,
+        pre_tokenize,
+    )
+
+    rng = _rng("bpe", i)
+    invocab = ["the", "extraction", "pipeline", "shuffle", "token", "corpus",
+               "document", "quality", "partition", "stream"]
+    novel = ["zyxwv", "qqqj", "blorp", "kxv", "snarfle"]
+    parts: list[str] = []
+    for k in range(int(rng.integers(4, 12))):
+        r = rng.random()
+        if r < 0.45:
+            parts.append(invocab[int(rng.integers(0, len(invocab)))])
+        elif r < 0.65:
+            parts.append(novel[int(rng.integers(0, len(novel)))])
+        elif r < 0.8:
+            parts.append(str(int(rng.integers(0, 99999))))
+        else:
+            parts.append(invocab[int(rng.integers(0, len(invocab)))] + "'s")
+    text = " ".join(parts)
+    if i % 4 == 1:
+        text += ", doesn't it?"
+    if i % 4 == 2:
+        text += " — naïve café 中文"
+    if i % 4 == 3:
+        text = text.upper()
+
+    ranks, vocab = default_ranks(), default_vocab()
+    syms = encode(text, ranks)
+    if decode(syms) != text:
+        raise AssertionError(f"bpe roundtrip broken (case {i})")
+    ids = encode_ids(text, ranks, vocab)
+    digest = 0
+    for tid in ids:
+        digest = (digest * 1000003 + tid) % 2147483647
+    return {
+        "case_id": int(i),
+        "text": text,
+        "n_pre_tokens": len(pre_tokenize(text)),
+        "n_tokens": len(ids),
+        "ids_digest": digest,
+        "ids_head": ",".join(str(t) for t in ids[:16]),
+    }
+
+
+FAMILIES["kernel_bpe"] = (compute_bpe, N_CASES)

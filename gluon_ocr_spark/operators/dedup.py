@@ -41,6 +41,51 @@ def drop_exact_dups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text
     return df.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1).drop("__rn")
 
 
+def drop_near_dups(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Keeps only the canonical (min-id) doc per NEAR-duplicate
+    cluster — the production prune that :func:`drop_exact_dups`
+    cannot do (exact hashing misses A~B~C chains of slightly-edited
+    boilerplate, and pairwise keep rules leave transitive dups alive).
+
+    Composition of the individually-gated stages:
+    minhash bands → candidate pairs (equi-join on (band_id,
+    band_key), :func:`minhash_candidate_pairs`) → exact token-set
+    Jaccard VERIFICATION of the candidates (:func:`jaccard_verify` —
+    LSH band collisions are candidates, not decisions; pruning on
+    unverified pairs over-merges boilerplate-heavy corpora) →
+    large-star/small-star connected components
+    (:func:`connected_components`) over the verified edges → keep
+    rows whose id IS the component min (or in no verified pair).
+
+    Scale: the pair graph is tiny relative to the corpus (only docs
+    sharing an LSH bucket survive candidate gen; Jaccard runs only on
+    those), CC runs O(log n) equi-join rounds over it, and the final
+    keep decision is ONE left join of the label table back to the
+    corpus — no corpus-side shuffle beyond the band projection it
+    already pays. Reference corpus semantics: one clean record per
+    source doc (detect_dataset.py:131-150).
+    """
+    cand = minhash_candidate_pairs(df, id_col, text_col, materialize=True)
+    pairs = jaccard_verify(df, cand, id_col, text_col, threshold).select("doc_a", "doc_b")
+    labels = connected_components(pairs)
+    return (
+        df.join(
+            labels.withColumnRenamed("node", id_col).withColumnRenamed(
+                "cluster_id", "__cluster"
+            ),
+            id_col,
+            "left",
+        )
+        .where(F.col("__cluster").isNull() | (F.col(id_col) == F.col("__cluster")))
+        .drop("__cluster")
+    )
+
+
 def minhash_bands(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", materialize_codes: bool = True
 ) -> DataFrame:

@@ -124,6 +124,10 @@ SCHEMAS = {
         "case_id bigint, variant string, n_bytes bigint, page bigint, line_id bigint, "
         "x double, y double, size double, text string, n_chars bigint"
     ),
+    "kernel_bpe": (
+        "case_id bigint, text string, n_pre_tokens bigint, n_tokens bigint, "
+        "ids_digest bigint, ids_head string"
+    ),
     "kernel_losses": (
         "case_id bigint, dice double, mask_l1 double, balance_ce double, db double, "
         "east double, iou double, giou double, ciou double, ctc double"

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from .operators.dedup import drop_exact_dups
+from .operators.dedup import drop_exact_dups, drop_near_dups
 from .operators.extract import extract_docs
 from .operators.textstats import (
     with_fingerprint,
@@ -38,6 +38,7 @@ def prepare_corpus(
     min_tokens: int = 10,
     max_tokens: int = 100_000,
     max_dup_bigram_frac: float = 0.9,
+    near_dedup: bool = True,
 ) -> dict:
     """Run the full prep pipeline; returns stage counters.
 
@@ -64,6 +65,16 @@ def prepare_corpus(
         & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
     )
     deduped = drop_exact_dups(qualified, id_col="url", text_col="text")
+    if near_dedup:
+        # Transitive near-dup pruning: minhash bands → candidate
+        # pairs → connected components → keep component-min docs.
+        # Without it the corpus ships A~B~C chains of lightly-edited
+        # boilerplate that exact hashing cannot see.
+        obs_exact = Observation("after_exact_dedup")
+        deduped = deduped.observe(obs_exact, F.count(F.lit(1)).alias("n"))
+        deduped = drop_near_dups(deduped, id_col="url", text_col="text")
+    else:
+        obs_exact = None
     keep = deduped.select(
         "url", "text", "n_lines", "n_chars", "n_tokens", "stop_ratio",
         "lexical_diversity", "dup_bigram_frac", "consec_dup_frac", "content_fp"
@@ -71,8 +82,11 @@ def prepare_corpus(
     keep = keep.observe(obs_out, F.count(F.lit(1)).alias("n"))
     keep.write.mode("overwrite").parquet(out_dir)
 
-    return {
+    counters = {
         "pages_in": obs_in.get["n"],
         "corpus_out": obs_out.get["n"],
         "out_dir": out_dir,
     }
+    if obs_exact is not None:
+        counters["after_exact_dedup"] = obs_exact.get["n"]
+    return counters

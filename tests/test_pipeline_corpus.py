@@ -28,3 +28,50 @@ def test_prepare_corpus_counts_and_dedup(spark, tmp_path):
     assert corpus.where(F.col("n_tokens") < 10).count() == 0
     # canonical keep: for duplicated html, the original (non-zzdup-) url wins
     assert corpus.where(F.col("url").startswith("zzdup-")).count() == 0
+
+
+def test_prepare_corpus_near_dedup_collapses_chain(spark, tmp_path):
+    """A~B~C lightly-edited near-dup chain collapses to ONE kept doc.
+
+    Exact hashing cannot see these (all three texts differ), and a
+    pairwise keep rule would leave the transitive end alive; the
+    minhash-pairs → connected-components prune in prepare_corpus
+    must keep only the min-url canonical."""
+    from gluon_ocr_spark.sources.pages import wrap_text_as_page
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four "
+        "five six seven eight nine ten eleven twelve thirteen fourteen"
+    )
+    texts = {
+        "a": base + " fifteen",
+        "b": base + " sixteen",            # ~ a (1 token differs)
+        "c": "amended " + base + " sixteen",  # ~ b (1 token differs from b)
+        "solo": (
+            "entirely different document about rivers lakes mountains "
+            "valleys forests deserts plains glaciers islands deltas "
+            "estuaries canyons plateaus ridges summits basins fjords"
+        ),
+    }
+    rows = [
+        (f"page://{k}", bytearray(wrap_text_as_page(i, t)))
+        for i, (k, t) in enumerate(sorted(texts.items()))
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+
+    out = str(tmp_path / "near")
+    stats = prepare_corpus(spark, pages, out, num_partitions=2)
+    corpus = spark.read.parquet(out)
+    kept = sorted(r["url"] for r in corpus.select("url").collect())
+    assert kept == ["page://a", "page://solo"], kept
+    assert stats["after_exact_dedup"] == 4  # exact dedup saw 4 distinct texts
+    assert stats["corpus_out"] == 2
+
+    # the exact-only pipeline ships all three near-dups — the gap
+    # the near_dedup stage closes
+    out2 = str(tmp_path / "exact_only")
+    stats2 = prepare_corpus(spark, pages, out2, num_partitions=2, near_dedup=False)
+    assert stats2["corpus_out"] == 4
+    assert "after_exact_dedup" not in stats2
