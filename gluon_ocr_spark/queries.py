@@ -988,6 +988,93 @@ def sql_q10_returned_items(d: str) -> str:
     """
 
 
+def sql_q7_nation_volume(d: str) -> str:
+    """Q7 shape: bidirectional two-nation trade volume by ship year —
+    SIX joins (fact → supplier → orders → customer → nation×2) with a
+    disjunctive cross-nation predicate. Join-order/broadcast coverage:
+    every dim side is broadcast-sized at any SF (nation 25 rows,
+    supplier/customer keyed subsets), so Catalyst should plan ONE
+    shuffle-free broadcast chain over the fact scan; the year
+    extraction and money math stay in exact integer domain."""
+    rev = _rev2(
+        "sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)))", d
+    )
+    return f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           cast(year(l_shipdate) AS bigint) AS l_year,
+           {rev} AS volume,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE (n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+       OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18')
+    GROUP BY n1.n_name, n2.n_name, cast(year(l_shipdate) AS bigint)
+    """
+
+
+def sql_q8_market_share(d: str) -> str:
+    """Q8 shape: one nation's market share inside a region for one
+    part type, by order year — SEVEN joins (fact → part → supplier →
+    orders → customer → nation → region + the second nation dim for
+    the supplier side) feeding a conditional-share aggregate. The
+    share is a single double division of two exact integer sums
+    (engine-order-proof), rounded once."""
+    vol = "cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))"
+    return f"""
+    WITH all_sales AS (
+        SELECT cast(year(o_orderdate) AS bigint) AS o_year,
+               {vol} AS volume,
+               n2.n_name AS supp_nation
+        FROM lineitem
+        JOIN part     ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders   ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        JOIN region   ON n1.n_regionkey = r_regionkey
+        JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        WHERE r_name = 'ASIA' AND p_type = 'PROMO'
+    )
+    SELECT o_year,
+           round(cast(sum(CASE WHEN supp_nation = 'NATION_3' THEN volume ELSE 0 END) AS double)
+                 / sum(volume), 6) AS mkt_share,
+           count(*) AS n_items
+    FROM all_sales
+    GROUP BY o_year
+    """
+
+
+def sql_q9_product_profit(d: str) -> str:
+    """Q9 shape: profit by supplier nation and order year over a
+    part-name LIKE filter — fact → part (filter pushed into the
+    build side) → supplier → nation → orders. No partsupp table in
+    this corpus, so supply cost is proxied by p_retailprice; both
+    profit terms land on the same 10^-4-dollar integer scale
+    (price_cents × discount_percent and retail_cents × qty_cents),
+    so the subtraction stays exact before the one _rev2 division."""
+    profit = (
+        "sum(cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint)) "
+        "- cast(round(p_retailprice * 100) as bigint) * cast(round(l_quantity * 100) as bigint))"
+    )
+    return f"""
+    SELECT n_name AS nation,
+           cast(year(o_orderdate) AS bigint) AS o_year,
+           {_rev2(profit, d)} AS profit,
+           count(*) AS n_items
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    WHERE p_name LIKE '%gear%'
+    GROUP BY n_name, cast(year(o_orderdate) AS bigint)
+    """
+
+
 def sql_rollup_returns(d: str) -> str:
     """Grouping-sets coverage: ROLLUP over (returnflag, linestatus)
     with subtotal and grand-total rows (NULL keys hash identically in
@@ -1716,6 +1803,9 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q1_pricing_summary": sql_q1_pricing_summary,
     "q3_shipping_priority": sql_q3_shipping_priority,
     "q10_returned_items": sql_q10_returned_items,
+    "q7_nation_volume": sql_q7_nation_volume,
+    "q8_market_share": sql_q8_market_share,
+    "q9_product_profit": sql_q9_product_profit,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,
