@@ -183,3 +183,94 @@ def dedup_stream(
 
     d = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp")).withWatermark(ts_col, watermark)
     return d.dropDuplicatesWithinWatermark(list(key_cols))
+
+
+def near_dedup_stream(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Streaming NEAR-dup dedup: minhash-band blocking inside the
+    watermark horizon — the streaming twin of the batch
+    ``minhash_bands`` → prune chain (operators/dedup.py).
+
+    Online rule (causal, single-pass): a doc is kept iff NONE of its
+    LSH band buckets has been claimed by ANY earlier doc inside the
+    horizon — claimed buckets stay claimed even when the claiming doc
+    was itself dropped, which makes an A~B~C chain collapse to just A
+    (the same transitive-kill the batch connected-components pass
+    computes; a pure pairwise streaming rule would re-emit C).
+
+    Plan: one projection computes all band keys per doc (same inline
+    single-scan shape as the batch operator), explode to one row per
+    (bucket, doc), ``dropDuplicatesWithinWatermark`` on the bucket
+    key keeps each bucket's FIRST claim, then a tumbling-window count
+    per doc keeps docs that still own ALL their bands — two chained
+    stateful operators (Spark ≥3.5 watermark propagation), state
+    bounded by the horizon's bucket-arrival rate exactly like
+    :func:`dedup_stream`. Emission is append-mode: a doc's verdict
+    finalizes when the watermark passes its window (late-colliding
+    docs inside the horizon were already blocked by bucket state).
+
+    Returns (window_start, id, n_bands) rows for kept docs."""
+    from ..functions import portable as pt
+    from ..functions.portable import SPARK
+
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    structs = ", ".join(
+        f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, SPARK)})"
+        for band in range(n_bands)
+    )
+    d = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    bands = d.selectExpr(
+        id_col, ts_col, f"{pt.token_codes(text_col, SPARK)} AS codes"
+    ).selectExpr(id_col, ts_col, f"inline(array({structs}))")
+    first = bands.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band_id", "band_key"]
+    )
+    kept = (
+        first.groupBy(F.window(F.col(ts_col), window), F.col(id_col))
+        .agg(F.count("*").alias("n_bands"))
+        .where(F.col("n_bands") == n_bands)
+    )
+    return kept.select(
+        F.col("window.start").alias("window_start"), F.col(id_col), F.col("n_bands")
+    )
+
+
+def near_dedup_first_owner_batch(
+    docs: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Batch oracle for :func:`near_dedup_stream`'s online rule: per
+    band bucket the first owner is the min (ts, id) arrival; a doc is
+    kept iff it owns every one of its buckets. Relational twin used
+    by the restart test (NOT the batch production prune — that is
+    drop_near_dups, whose Jaccard-verified CC is the offline-quality
+    answer; this mirrors the weaker causal streaming rule)."""
+    from pyspark.sql import Window
+
+    from ..functions import portable as pt
+    from ..functions.portable import SPARK
+
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    structs = ", ".join(
+        f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, SPARK)})"
+        for band in range(n_bands)
+    )
+    bands = docs.selectExpr(
+        id_col, ts_col, f"{pt.token_codes(text_col, SPARK)} AS codes"
+    ).selectExpr(id_col, ts_col, f"inline(array({structs}))")
+    w = Window.partitionBy("band_id", "band_key").orderBy(F.col(ts_col), F.col(id_col))
+    owned = bands.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    return (
+        owned.groupBy(id_col)
+        .agg(F.count("*").alias("n_bands"))
+        .where(F.col("n_bands") == n_bands)
+        .select(id_col, "n_bands")
+    )
