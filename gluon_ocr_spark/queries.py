@@ -1075,6 +1075,88 @@ def sql_q9_product_profit(d: str) -> str:
     """
 
 
+def sql_q4_order_priority(d: str) -> str:
+    """Q4 shape: EXISTS correlated subquery → Catalyst plans a LEFT
+    SEMI join (lineitem probe side deduped by the semi semantics, no
+    fact blow-up). Priority distribution of orders with at least one
+    late-shipping line."""
+    return """
+    SELECT o_orderpriority, count(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= timestamp '1996-01-01 00:00:00'
+      AND o_orderdate <  timestamp '1997-01-01 00:00:00'
+      AND EXISTS (
+          SELECT 1 FROM lineitem
+          WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate
+      )
+    GROUP BY o_orderpriority
+    """
+
+
+def sql_q13_customer_distribution(d: str) -> str:
+    """Q13 shape: LEFT OUTER join + two-level aggregation — the
+    orders-per-customer histogram including zero-order customers
+    (the outer join's null side). First agg shuffles on c_custkey,
+    second on the count value; both map-side combinable."""
+    return """
+    SELECT n_orders, count(*) AS n_custs
+    FROM (
+        SELECT c_custkey, count(o_orderkey) AS n_orders
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderstatus <> 'F'
+        GROUP BY c_custkey
+    ) per_cust
+    GROUP BY n_orders
+    """
+
+
+def sql_q18_large_orders(d: str) -> str:
+    """Q18 shape: IN over an aggregated subquery (HAVING above a
+    threshold) → LEFT SEMI join against the grouped lineitem; the
+    outer block re-joins customer + lineitem for the detail rows.
+    Quantity math in exact integer centi-units."""
+    return """
+    SELECT c_name, o_orderkey,
+           CAST(round(sum(cast(round(l_quantity * 100) as bigint)) / 100.0, 2) AS DOUBLE) AS total_qty,
+           count(*) AS n_lines
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING sum(cast(round(l_quantity * 100) as bigint)) > 9000
+    )
+    GROUP BY c_name, o_orderkey
+    """
+
+
+def sql_q22_idle_customers(d: str) -> str:
+    """Q22 shape: scalar subquery (average balance over a filtered
+    scan, computed in exact integer cents with integer division — a
+    double avg would diverge across engines in sum order) + NOT
+    EXISTS → LEFT ANTI join to keep customers with no RECENT orders.
+    Both subquery sides are broadcast-sized."""
+    idiv = "div" if d == SPARK else "//"
+    bal = "cast(round(c_acctbal * 100) as bigint)"
+    return f"""
+    SELECT c_mktsegment,
+           count(*) AS n_custs,
+           CAST(round(sum({bal}) / 100.0, 2) AS DOUBLE) AS total_bal
+    FROM customer
+    WHERE {bal} > (
+        SELECT sum({bal}) {idiv} count(*) FROM customer WHERE {bal} > 0
+    )
+    AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey
+          AND o_orderdate >= timestamp '2000-01-01 00:00:00'
+    )
+    GROUP BY c_mktsegment
+    """
+
+
 def sql_rollup_returns(d: str) -> str:
     """Grouping-sets coverage: ROLLUP over (returnflag, linestatus)
     with subtotal and grand-total rows (NULL keys hash identically in
@@ -1806,6 +1888,10 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q7_nation_volume": sql_q7_nation_volume,
     "q8_market_share": sql_q8_market_share,
     "q9_product_profit": sql_q9_product_profit,
+    "q4_order_priority": sql_q4_order_priority,
+    "q13_customer_distribution": sql_q13_customer_distribution,
+    "q18_large_orders": sql_q18_large_orders,
+    "q22_idle_customers": sql_q22_idle_customers,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,
