@@ -448,6 +448,68 @@ def sql_corpus_sample_stratified(d: str) -> str:
     """
 
 
+def sql_text_bm25(d: str) -> str:
+    """BM25-shaped ranked retrieval over the corpus (k1=1.2, b=0.75)
+    for a fixed 3-term query — the curation/search primitive a
+    training-data pipeline uses for targeted sampling ("find docs
+    about X") and eval-set mining.
+
+    Exactness construction: the textbook formula's ln() IDF is
+    transcendental (engines differ in final ulps), so the IDF keeps
+    the Robertson ratio (N − df + 0.5)/(df + 0.5) WITHOUT the log,
+    scaled to integer thousandths; the tf saturation term
+    tf·(k1+1)/(tf + k1·(1 − b + b·dl/avgdl)) is multiplied through
+    by 10·Σdl so numerator and denominator are exact int64
+    (22·tf·A over 10·A·tf + 3·A + 9·dl·N). One integer division per
+    term, integer sum across terms — bit-identical in both engines.
+    Monotonicity in tf/df/dl matches BM25; absolute values are the
+    documented rational-IDF variant. Int64 headroom: max term
+    product ≈ 2N·10³ · 22·tf · A ≲ 10^18 at sf1.
+
+    Plan shape: one corpus scan computes (dl, tf per term); the
+    1-row corpus stats aggregate broadcasts back (BroadcastNestedLoop
+    on a literal-true condition over one row); top-k is a global
+    TakeOrderedAndProject with a doc_id tie-break — no full sort at
+    scale. At 10^12 docs the stats row is a precomputed table and
+    the per-term tf comes off an inverted index/bucketed term table;
+    the scoring arithmetic is unchanged."""
+    terms = ("spark", "join", "window")
+    idiv = "div" if d == SPARK else "//"
+    toks = pt.tokens("text", d)
+    tf_cols = ", ".join(
+        "{expr} AS tf{i}".format(
+            expr=pt.arr_size(pt.arr_filter("w", "x -> x = '%s'" % t, d), d), i=i
+        )
+        for i, t in enumerate(terms)
+    )
+    df_cols = ", ".join(
+        f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
+        for i in range(len(terms))
+    )
+    per_term = " + ".join(
+        f"(CASE WHEN tf{i} > 0 THEN "
+        f"(((2 * (n - df{i}) + 1) * 1000) {idiv} (2 * df{i} + 1))"
+        f" * (22 * tf{i} * a) {idiv} (10 * a * tf{i} + 3 * a + 9 * dl * n)"
+        f" ELSE 0 END)"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH t AS (
+        SELECT doc_id, {pt.arr_size('w', d)} AS dl, {tf_cols}
+        FROM (SELECT doc_id, {toks} AS w FROM documents) raw_t
+    ),
+    stats AS (
+        SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS a, {df_cols} FROM t
+    )
+    SELECT doc_id, dl, tf0, tf1, tf2,
+           {per_term} AS score_milli
+    FROM t CROSS JOIN stats
+    WHERE tf0 + tf1 + tf2 > 0
+    ORDER BY score_milli DESC, doc_id
+    LIMIT 50
+    """
+
+
 def sql_dedup_exact(d: str) -> str:
     """Exact dedup via content-hash groupBy (map-side combinable; at
     scale this is a single shuffle on the 128-bit hash)."""
@@ -1892,6 +1954,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q13_customer_distribution": sql_q13_customer_distribution,
     "q18_large_orders": sql_q18_large_orders,
     "q22_idle_customers": sql_q22_idle_customers,
+    "text_bm25": sql_text_bm25,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,
