@@ -1311,3 +1311,75 @@ def compute_bpe(i: int) -> dict:
 
 
 FAMILIES["kernel_bpe"] = (compute_bpe, N_CASES)
+
+
+# -- vp8i intra frames (real entropy-coded WebM frame decode) -----------------
+
+
+def compute_vp8_frames(i: int) -> dict:
+    """vp8i key-frame encode → WebM mux → container-walk decode →
+    luma digest: the full frame-level media path (kernels/vp8.py +
+    codecs.webm_vp8i_frames). Patterns span the prediction modes
+    (flat → DC, vertical/horizontal edges → V/H, gradients → TM,
+    noise → residual-heavy); the reconstruction-error bound vs the
+    quantizer step is asserted HERE so a broken transform or coder
+    can't silently ship a fixture."""
+    from ..kernels.codecs import encode_webm_probe_fixture, webm_vp8i_frames
+    from ..kernels.vp8 import encode_frame, quant_for_index
+
+    rng = _rng("vp8", i)
+    h = int(rng.integers(2, 5)) * 16
+    w = int(rng.integers(2, 6)) * 16
+    yy, xx = np.mgrid[0:h, 0:w]
+    kind = i % 5
+    if kind == 0:
+        pattern = "flat"
+        y = np.full((h, w), int(rng.integers(30, 220)))
+    elif kind == 1:
+        pattern = "vstripes"
+        y = ((xx // 8) % 2) * 180 + 30
+    elif kind == 2:
+        pattern = "hstripes"
+        y = ((yy // 8) % 2) * 180 + 30
+    elif kind == 3:
+        pattern = "gradient"
+        y = 32 + xx * 2 + yy
+    else:
+        pattern = "noise"
+        y = rng.integers(0, 256, (h, w))
+    y = np.clip(y, 0, 255).astype(np.uint8)
+    u = np.clip(90 + (xx[::2, ::2] // 4), 0, 255).astype(np.uint8)
+    v = np.clip(70 + (yy[::2, ::2] // 4), 0, 255).astype(np.uint8)
+    q = int(rng.integers(0, 48))
+
+    frame = encode_frame(y, u, v, q_index=q)
+    webm = encode_webm_probe_fixture(w, h, frame_payloads=[frame])
+    decoded = webm_vp8i_frames(webm)
+    assert len(decoded) == 1 and decoded[0]["decoded"], f"vp8i decode failed (case {i})"
+    f = decoded[0]
+    assert f["width"] == w and f["height"] == h and f["q_index"] == q
+
+    # reconstruction bound: prediction residual error is bounded by
+    # the dequant step (plus idct rounding); re-decode for the pixels
+    from ..kernels.vp8 import decode_frame
+
+    rec = decode_frame(frame)
+    err = np.abs(rec["y"].astype(np.int64) - y.astype(np.int64))
+    dc_q, ac_q = quant_for_index(q)
+    bound = ac_q * 2 + 8
+    assert int(err.max()) <= bound, f"recon err {err.max()} > bound {bound} (case {i})"
+
+    return {
+        "case_id": int(i),
+        "pattern": pattern,
+        "q_index": q,
+        "width": w,
+        "height": h,
+        "n_bytes": int(f["n_bytes"]),
+        "luma_digest": int(f["luma_digest"]),
+        "max_err": int(err.max()),
+        "mean_err": _r(float(err.mean()), 4),
+    }
+
+
+FAMILIES["kernel_vp8_frames"] = (compute_vp8_frames, N_CASES)

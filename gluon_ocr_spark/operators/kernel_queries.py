@@ -128,6 +128,10 @@ SCHEMAS = {
         "case_id bigint, text string, n_pre_tokens bigint, n_tokens bigint, "
         "ids_digest bigint, ids_head string"
     ),
+    "kernel_vp8_frames": (
+        "case_id bigint, pattern string, q_index bigint, width bigint, height bigint, "
+        "n_bytes bigint, luma_digest bigint, max_err bigint, mean_err double"
+    ),
     "kernel_losses": (
         "case_id bigint, dice double, mask_l1 double, balance_ce double, db double, "
         "east double, iou double, giou double, ciou double, ctc double"
