@@ -344,8 +344,10 @@ def _query_run_inproc(cores: int, name: str, replicate: int = 48) -> dict:
         # batch-throughput GC: the md5 token pass is allocation-heavy
         # (split → token array → md5 per token) and G1's concurrent
         # cycles cost ~5% here; measured with ParallelGC the pass
-        # scales slightly better at 16 cores
-        extra={"spark.driver.extraJavaOptions": "-XX:+UseParallelGC"},
+        # scales slightly better at 16 cores. -Xms pre-sizes the heap
+        # so the first full-size trial doesn't pay incremental heap
+        # growth (measured 15 s vs 6 s steady on trial 1 without it).
+        extra={"spark.driver.extraJavaOptions": "-XX:+UseParallelGC -Xms12g"},
     )
     try:
         spark.range(0, 100000, 1, cores).selectExpr("md5(cast(id as string)) h").where(
@@ -373,12 +375,17 @@ def _query_run_inproc(cores: int, name: str, replicate: int = 48) -> dict:
         warm = docs.limit(4000).persist()
         minhash_bands(warm, materialize_codes=True).groupBy("band_id", "band_key").count().count()
         warm.unpersist()
+        # one UNTIMED full-size run: first contact with the full
+        # working set still pays allocator/page-cache ramp the small
+        # warmup can't reach; timing it would put a known-cold sample
+        # into the trial spread and trip the suspect flag on every run
+        minhash_bands(docs, materialize_codes=True).groupBy("band_id", "band_key").count().count()
         best = None
         trials: list[float] = []
         n_rows = 0
         # multiple trials per subprocess: single trials on this shared
         # host swing >2x; the spread is also the window-suspect signal
-        for _ in range(3):
+        for _ in range(2):
             # the timed job uses the ENGINE's plan (materialized codes
             # boundary — the un-materialized variant re-runs the md5
             # pass 16x and turns this into a map-CPU benchmark that
@@ -485,10 +492,15 @@ def main() -> None:
         # host throttles in multi-minute windows that can invert a
         # single lo->hi sequence entirely — measured 2.3 s vs 24.9 s
         # for the SAME 16-core job in different windows).
+        # ABBA default since round 4: this host throttles in multi-
+        # minute windows and a single lo→hi sequence frequently lands
+        # one leg in a throttled slice; two subprocesses per level
+        # (best wins) double the chance each level sees one clean
+        # window. SPARK_GRAFT_BENCH_SHUFFLE_ABBA=0 restores AB.
         order = (
-            (LO_LEVEL, HI_LEVEL, HI_LEVEL, LO_LEVEL)
-            if os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_ABBA", "0") == "1"
-            else (LO_LEVEL, HI_LEVEL)
+            (LO_LEVEL, HI_LEVEL)
+            if os.environ.get("SPARK_GRAFT_BENCH_SHUFFLE_ABBA", "1") == "0"
+            else (LO_LEVEL, HI_LEVEL, HI_LEVEL, LO_LEVEL)
         )
         runs = {LO_LEVEL: [], HI_LEVEL: []}
         for level in order:

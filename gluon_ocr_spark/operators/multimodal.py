@@ -9,9 +9,10 @@ progressive (stdlib Huffman + IDCT, :mod:`..kernels.jpeg`, round 3),
 BMP, PPM, 16-bit WAV, and WebM container METADATA (EBML element walk,
 ``stdlib-ebml-probe`` — track count, pixel dims, sample rate) — via
 :mod:`..kernels.codecs`; the ``decoder`` output column names the
-codec (``stdlib-png``, ``stdlib-jpeg`` …). The one remaining stub is
-video FRAME decode (VP8/VP9 entropy decoding): ``frame_sample``
-digests stay deterministic fakes, clearly marked, and anything with
+codec (``stdlib-png``, ``stdlib-jpeg`` …). Since round 4 WebM frames
+carrying vp8i key frames (:mod:`..kernels.vp8`) decode to REAL
+pixels (``decoder='vp8i'``); only libvpx VP8/VP9 payloads keep the
+clearly-marked deterministic payload-hash digests, and anything with
 no decoder at all falls back to ``decoder='fake-deterministic'``
 with digest-derived dimensions so callers can't mistake it for a
 real decode.
@@ -117,30 +118,41 @@ def media_metadata(media: DataFrame, id_col: str = "media_id", payload_col: str 
 def frame_sample(media: DataFrame, every_n: int = 30, id_col: str = "media_id", payload_col: str = "payload") -> DataFrame:
     """Frame sampling: one output row per sampled frame index. For
     WebM the frame COUNT is real (EBML SimpleBlock walk,
-    :func:`..kernels.codecs.probe_webm`); the frame-content digest
-    stays a deterministic payload hash because VP8/VP9 frame decode
-    is the one remaining stub. Non-EBML payloads fall back to the
-    digest-derived fake count, clearly marked by ``decoder``."""
+    :func:`..kernels.codecs.probe_webm`), and since round 4 blocks
+    carrying vp8i key frames (kernels/vp8.py) get REAL frame-content
+    digests from pixel reconstruction (``decoder='vp8i'``); libvpx
+    VP8/VP9 payloads keep the deterministic payload hash, and
+    non-EBML payloads fall back to the digest-derived fake count —
+    each case clearly marked by ``decoder``."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from ..kernels.codecs import decode_media as _decode
+        from ..kernels.codecs import decode_media as _decode, webm_vp8i_frames
 
         for pdf in batches:
             ids, frames, digests, decoders = [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 b = bytes(payload) if payload is not None else b""
+                decoded_frames: list = []
                 try:
                     meta = _decode(b)
                     n_frames = int(meta.get("n_frames", 1))
                     decoder = meta["decoder"]
+                    if decoder == "stdlib-ebml-probe":
+                        decoded_frames = webm_vp8i_frames(b)
                 except ValueError:
                     _, _, n_frames = _fake_decode(b)
                     decoder = "fake-deterministic"
                 for i in range(0, n_frames, every_n):
                     ids.append(str(mid))
                     frames.append(i)
-                    digests.append(hashlib.sha256(b + i.to_bytes(4, "big")).hexdigest()[:16])
-                    decoders.append(decoder)
+                    if i < len(decoded_frames) and decoded_frames[i].get("decoded"):
+                        digests.append(f"{decoded_frames[i]['luma_digest']:016x}")
+                        decoders.append("vp8i")
+                    else:
+                        digests.append(
+                            hashlib.sha256(b + i.to_bytes(4, "big")).hexdigest()[:16]
+                        )
+                        decoders.append(decoder)
             yield pd.DataFrame(
                 {"media_id": ids, "frame_idx": frames, "frame_digest": digests, "decoder": decoders}
             )

@@ -143,3 +143,29 @@ def test_legacy_filler_blocks_reported_undecoded():
     legacy = encode_webm_probe_fixture(48, 32, n_frames=3)
     frames = webm_vp8i_frames(legacy)
     assert [f["decoded"] for f in frames] == [False, False, False]
+
+
+def test_frame_sample_real_vp8i_digests(spark):
+    """frame_sample emits decoder='vp8i' + pixel-derived digests for
+    WebM blocks carrying vp8i frames; filler blocks keep the marked
+    payload-hash path."""
+    import numpy as np
+
+    from gluon_ocr_spark.operators.multimodal import frame_sample
+
+    img = (np.arange(32 * 48).reshape(32, 48) % 251).astype(np.uint8)
+    f1 = vp8.encode_frame(img, q_index=4)
+    f2 = vp8.encode_frame(255 - img, q_index=4)
+    real = encode_webm_probe_fixture(48, 32, frame_payloads=[f1, f2])
+    filler = encode_webm_probe_fixture(48, 32, n_frames=2)
+    df = spark.createDataFrame(
+        [("real", bytearray(real)), ("filler", bytearray(filler))],
+        "media_id string, payload binary",
+    )
+    rows = {(r["media_id"], r["frame_idx"]): r for r in frame_sample(df, every_n=1).collect()}
+    assert rows[("real", 0)]["decoder"] == "vp8i"
+    assert rows[("real", 1)]["decoder"] == "vp8i"
+    assert rows[("real", 0)]["frame_digest"] != rows[("real", 1)]["frame_digest"]
+    expected = vp8.luma_digest(vp8.decode_frame(f1)["y"])
+    assert rows[("real", 0)]["frame_digest"] == f"{expected:016x}"
+    assert rows[("filler", 0)]["decoder"] == "stdlib-ebml-probe"
