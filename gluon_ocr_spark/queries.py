@@ -510,6 +510,46 @@ def sql_text_bm25(d: str) -> str:
     """
 
 
+def sql_text_tfidf_terms(d: str) -> str:
+    """Per-document top-3 keywords by tf·idf — the curation/labeling
+    primitive (topic tagging, cluster naming, targeted sampling) next
+    to text_bm25's query-side ranking. Same log-free integer IDF
+    (Robertson ratio scaled to thousandths) so both engines agree
+    bit-for-bit; score = tf · idf_s needs no division at all.
+
+    Shape: explode tokens → per-(doc, term) count (ONE shuffle,
+    map-side combinable) → df over the term table (the inverted-index
+    degree table a lake materializes anyway) → equi-join back →
+    per-doc row_number window (WindowGroupLimit prunes below top-3).
+    Ties break (score desc, term asc) — fully deterministic."""
+    toks = pt.tokens("text", d)
+    explode = "explode" if d == SPARK else "unnest"
+    idiv = "div" if d == SPARK else "//"
+    return f"""
+    WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, {explode}({toks}) AS term FROM documents) x
+        GROUP BY doc_id, term
+    ),
+    dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    nn AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf,
+               (((2 * (n - df) + 1) * 1000) {idiv} (2 * df + 1)) * tf.tf AS score_milli
+        FROM tf JOIN dft ON tf.term = dft.term CROSS JOIN nn
+    ),
+    ranked AS (
+        SELECT doc_id, term, tf, score_milli,
+               row_number() OVER (
+                   PARTITION BY doc_id ORDER BY score_milli DESC, term
+               ) AS rk
+        FROM scored
+    )
+    SELECT doc_id, rk, term, tf, score_milli
+    FROM ranked WHERE rk <= 3
+    """
+
+
 def sql_dedup_exact(d: str) -> str:
     """Exact dedup via content-hash groupBy (map-side combinable; at
     scale this is a single shuffle on the 128-bit hash)."""
@@ -1955,6 +1995,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q18_large_orders": sql_q18_large_orders,
     "q22_idle_customers": sql_q22_idle_customers,
     "text_bm25": sql_text_bm25,
+    "text_tfidf_terms": sql_text_tfidf_terms,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,

@@ -185,6 +185,74 @@ def dedup_stream(
     return d.dropDuplicatesWithinWatermark(list(key_cols))
 
 
+def extract_docs_stream_ts(pages: DataFrame) -> DataFrame:
+    """Streaming extraction that CARRIES the event time: stateful
+    downstreams (watermark dedup, windowed aggs) need ``warc_ts`` to
+    survive the Arrow UDF edge; the batch extractor drops it because
+    batch dedup keys on content alone. Same kernel, same
+    partitioning; only the light columns ride along."""
+    import pandas as pd
+
+    schema = "url string, warc_ts timestamp, text string, n_lines int, n_chars int"
+
+    def gen(batches):
+        from ..kernels.extract import extract_document
+
+        for pdf in batches:
+            out = {k: [] for k in ("url", "warc_ts", "text", "n_lines", "n_chars")}
+            for url, ts, payload in zip(pdf["url"], pdf["warc_ts"], pdf["html"]):
+                res = extract_document(bytes(payload) if payload is not None else b"")
+                out["url"].append(url)
+                out["warc_ts"].append(ts)
+                out["text"].append(res.text)
+                out["n_lines"].append(len(res.lines))
+                out["n_chars"].append(len(res.text))
+            yield pd.DataFrame(out)
+
+    return pages.select("url", "warc_ts", "html").mapInPandas(gen, schema=schema)
+
+
+def corpus_prep_stream(
+    pages: DataFrame,
+    watermark: str = "1 hour",
+    min_tokens: int = 10,
+    max_tokens: int = 100_000,
+    max_dup_bigram_frac: float = 0.9,
+) -> DataFrame:
+    """The FULL corpus-prep pipeline as one continuous job — the
+    streaming twin of :func:`gluon_ocr_spark.pipeline.prepare_corpus`:
+    extraction (Arrow kernel, stateless) → quality/repetition gates
+    (pure expressions, fused into the same stage) → exact content
+    dedup within the watermark horizon (first arrival per
+    content_fp keeps; state bounded by the horizon's arrival rate).
+
+    Semantics vs batch: batch keeps the MIN-url canonical per
+    fingerprint; the stream keeps the FIRST-arrival — identical
+    whenever arrival order follows url/crawl order, and the honest
+    streaming answer otherwise (a later recrawl beyond the horizon
+    re-emits, which a continuous pipeline wants). Near-dup pruning
+    stays batch-side (prepare_corpus): connected components need the
+    full pair graph; the streaming approximation is
+    :func:`near_dedup_stream`."""
+    from ..operators.textstats import with_quality, with_repetition, with_token_stats
+
+    docs = extract_docs_stream_ts(pages)
+    docs = with_repetition(with_quality(with_token_stats(docs)))
+    qualified = docs.where(
+        (F.col("n_tokens") >= min_tokens)
+        & (F.col("n_tokens") <= max_tokens)
+        & (F.col("n_chars") > 0)
+        & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+    )
+    keyed = qualified.withColumn(
+        "content_fp", F.md5(F.lower(F.col("text")))
+    ).withWatermark("warc_ts", watermark)
+    deduped = keyed.dropDuplicatesWithinWatermark(["content_fp"])
+    return deduped.select(
+        "url", "warc_ts", "text", "n_tokens", "dup_bigram_frac", "content_fp"
+    )
+
+
 def near_dedup_stream(
     docs: DataFrame,
     id_col: str = "url",

@@ -72,3 +72,23 @@ def test_merged_count_bounds():
     n_bytes = sum(len(t.encode()) for t in pre)
     assert len(pre) <= len(syms) <= n_bytes
     assert len(syms) < 0.5 * n_bytes  # in-vocab words actually merge
+
+
+def test_encode_lossless_property():
+    """Hypothesis: decode(encode(text)) == text for arbitrary
+    unicode (any codepoint mix, any whitespace run) — byte-level BPE
+    over the whitespace-complete pre-tokenizer loses nothing."""
+    from hypothesis import given, settings, strategies as st
+
+    ranks = bpe.default_ranks()
+    vocab = bpe.default_vocab()
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.text(max_size=120))
+    def check(text):
+        syms = bpe.encode(text, ranks)
+        assert bpe.decode(syms) == text
+        ids = bpe.encode_ids(text, ranks, vocab)
+        assert len(ids) == len(syms)
+
+    check()
