@@ -1259,6 +1259,39 @@ def sql_q22_idle_customers(d: str) -> str:
     """
 
 
+def sql_q2_top_supplier_balance(d: str) -> str:
+    """Q2 shape: CORRELATED scalar subquery — per-nation max account
+    balance drives the outer row filter. Catalyst rewrites the
+    correlation into an aggregate + join (no per-row re-execution);
+    balances compare in exact integer cents."""
+    bal = "cast(round(s_acctbal * 100) as bigint)"
+    bal2 = "cast(round(s2.s_acctbal * 100) as bigint)"
+    return f"""
+    SELECT n_name, s_name,
+           CAST(round({bal} / 100.0, 2) AS DOUBLE) AS acctbal
+    FROM supplier s
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE {bal} = (
+        SELECT max({bal2}) FROM supplier s2
+        WHERE s2.s_nationkey = s.s_nationkey
+    )
+    """
+
+
+def sql_cube_order_mix(d: str) -> str:
+    """CUBE grouping-sets coverage (rollup_returns pins ROLLUP): all
+    four grouping combinations of (status, priority) in one pass —
+    Spark plans one Expand + single aggregate. NULL grouping keys
+    must hash identically across engines (pinned since r2)."""
+    return """
+    SELECT o_orderstatus, o_orderpriority,
+           count(*) AS n_orders,
+           CAST(round(sum(cast(round(o_totalprice * 100) as bigint)) / 100.0, 2) AS DOUBLE) AS total_price
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """
+
+
 def sql_rollup_returns(d: str) -> str:
     """Grouping-sets coverage: ROLLUP over (returnflag, linestatus)
     with subtotal and grand-total rows (NULL keys hash identically in
@@ -1994,6 +2027,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q13_customer_distribution": sql_q13_customer_distribution,
     "q18_large_orders": sql_q18_large_orders,
     "q22_idle_customers": sql_q22_idle_customers,
+    "q2_top_supplier_balance": sql_q2_top_supplier_balance,
+    "cube_order_mix": sql_cube_order_mix,
     "text_bm25": sql_text_bm25,
     "text_tfidf_terms": sql_text_tfidf_terms,
     "q5_region_revenue": sql_q5_region_revenue,
