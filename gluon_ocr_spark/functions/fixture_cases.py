@@ -1383,3 +1383,39 @@ def compute_vp8_frames(i: int) -> dict:
 
 
 FAMILIES["kernel_vp8_frames"] = (compute_vp8_frames, N_CASES)
+
+
+# -- T4: text2ids / teacher-forcing target shift ------------------------------
+
+
+def compute_text2ids(i: int) -> dict:
+    """T4 vocabulary mapping + target shift pinned to the reference's
+    exact semantics (recog_dataset.py:74-87,145-148): pad-initialized
+    ids, '</s>' appended in symbol mode, OOV chars leave a pad hole
+    with mask 0 (position consumed), teacher-forcing input =
+    [<s>] + label[:-1]."""
+    from ..kernels.ctc import IC15_VOCAB, build_word2id, shift_targets, text2ids
+
+    rng = _rng("text2ids", i)
+    symbol_mode = i % 2 == 0
+    w2i, pad, add = (
+        build_word2id(IC15_VOCAB, 0, 1) if symbol_mode else build_word2id(IC15_VOCAB)
+    )
+    alphabet = IC15_VOCAB + ["!", "?", "Z", " "]  # OOV chars mixed in
+    n = int(rng.integers(1, 12))
+    text = "".join(alphabet[int(j)] for j in rng.integers(0, len(alphabet), size=n))
+    text_len = int(rng.integers(max(1, n - 2), n + 4))
+    ids, mask = text2ids(text, text_len, w2i, pad, add)
+    targ = shift_targets(ids, 0) if symbol_mode else []
+    return {
+        "case_id": int(i),
+        "mode": "symbols" if symbol_mode else "plain",
+        "text": text,
+        "text_len": text_len,
+        "ids": ",".join(str(x) for x in ids),
+        "mask": ",".join(str(x) for x in mask),
+        "targ": ",".join(str(x) for x in targ),
+    }
+
+
+FAMILIES["kernel_text2ids"] = (compute_text2ids, N_CASES)

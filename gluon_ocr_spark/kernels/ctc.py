@@ -59,3 +59,57 @@ def load_vocab(lines: Iterable[str]) -> list[str]:
 # the 36-char ic15 alphabet the reference ships
 # (gluonocr/utils/ic15_dict.txt: digits then lowercase letters)
 IC15_VOCAB: list[str] = list("0123456789abcdefghijklmnopqrstuvwxyz")
+
+
+def build_word2id(
+    vocab: list[str], start_sym: int | None = None, end_sym: int | None = None
+) -> tuple[dict[str, int], int, bool]:
+    """T4 vocabulary mapping (recog_dataset.py:31-42): with symbols,
+    ``{'<s>': start_sym, '</s>': end_sym}`` seeds the dict and corpus
+    chars take ids from ``len(dict)`` upward; without, chars from 0.
+    Returns (word2id, pad_sym, add_symbol) — pad is the END symbol
+    when symbols are on, −1 otherwise (recog_dataset.py:25)."""
+    add_symbol = start_sym is not None and end_sym is not None
+    word2id: dict[str, int] = {}
+    if add_symbol:
+        word2id = {"<s>": int(start_sym), "</s>": int(end_sym)}
+    idx = len(word2id)
+    for ch in vocab:
+        word2id[ch] = idx
+        idx += 1
+    pad_sym = int(end_sym) if add_symbol else -1
+    return word2id, pad_sym, add_symbol
+
+
+def text2ids(
+    text: str,
+    text_len: int,
+    word2id: dict[str, int],
+    pad_sym: int,
+    add_symbol: bool,
+) -> tuple[list[int], list[int]]:
+    """T4 text → (ids, mask) exactly as recog_dataset.py:74-87: ids
+    start as pad everywhere, '</s>' is appended when symbols are on,
+    and an out-of-vocabulary char leaves a PAD HOLE at its position
+    with mask 0 — the position is still consumed (the reference's
+    ``continue`` after the membership test). Chars beyond text_len
+    are ignored the same way the fixed-shape NDArray would clip."""
+    ids = [pad_sym] * text_len
+    mask = [0] * text_len
+    chars = list(text)
+    if add_symbol:
+        chars.append("</s>")
+    for i, ch in enumerate(chars):
+        if i >= text_len:
+            break
+        if ch in word2id:
+            ids[i] = word2id[ch]
+            mask[i] = 1
+    return ids, mask
+
+
+def shift_targets(lab: list[int], start_sym: int) -> list[int]:
+    """T4 teacher-forcing shift (recog_dataset.py:145-148): decoder
+    INPUT = [start_sym] + label[:-1] — each step is conditioned on
+    the previous target symbol."""
+    return [int(start_sym)] + [int(x) for x in lab[:-1]]

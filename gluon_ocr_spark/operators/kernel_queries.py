@@ -128,6 +128,10 @@ SCHEMAS = {
         "case_id bigint, text string, n_pre_tokens bigint, n_tokens bigint, "
         "ids_digest bigint, ids_head string"
     ),
+    "kernel_text2ids": (
+        "case_id bigint, mode string, text string, text_len bigint, "
+        "ids string, mask string, targ string"
+    ),
     "kernel_vp8_frames": (
         "case_id bigint, pattern string, q_index bigint, width bigint, height bigint, "
         "n_bytes bigint, luma_digest bigint, max_err bigint, mean_err double"
