@@ -31,6 +31,19 @@ def main() -> None:
         help="synthetic payload format (--synthetic only); the extraction sniff routes per row",
     )
     ap.add_argument("--master", default=None)
+    ap.add_argument(
+        "--prep-corpus",
+        action="store_true",
+        help="run the FULL corpus-prep pipeline (extract → quality/"
+        "repetition gates → exact dedup → verified near-dup prune) "
+        "instead of the plain extraction/lineage job",
+    )
+    ap.add_argument(
+        "--no-near-dedup",
+        action="store_true",
+        help="with --prep-corpus: stop at exact dedup (skip the "
+        "minhash→Jaccard→connected-components prune)",
+    )
     args = ap.parse_args()
 
     from .plans.lineage import ExtractionJob
@@ -46,8 +59,19 @@ def main() -> None:
         else:
             ap.error("one of --pages / --synthetic is required")
         n_parts = args.partitions or spark.sparkContext.defaultParallelism
-        job = ExtractionJob(args.out, num_partitions=n_parts)
-        stats = job.run(spark, pages)
+        if args.prep_corpus:
+            from .pipeline import prepare_corpus
+
+            stats = prepare_corpus(
+                spark,
+                pages,
+                args.out,
+                num_partitions=n_parts,
+                near_dedup=not args.no_near_dedup,
+            )
+        else:
+            job = ExtractionJob(args.out, num_partitions=n_parts)
+            stats = job.run(spark, pages)
         print(json.dumps(stats))
     finally:
         spark.stop()

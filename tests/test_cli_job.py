@@ -46,3 +46,25 @@ def test_cli_mixed_pdf_payloads(spark, tmp_path):
     got = {r["url"]: r["text"] for r in spark.read.parquet(f"{out}/docs/*").collect()}
     exp = {p["url"]: p["text"] for p in make_pages(40, 42)}
     assert got == exp
+
+
+def test_cli_prep_corpus(tmp_path):
+    """--prep-corpus runs the full pipeline (near-dedup on by
+    default) end-to-end through spark-submit's entry point."""
+    import sys
+
+    out = str(tmp_path / "corpus")
+    cmd = [
+        sys.executable, "-m", "gluon_ocr_spark",
+        "--synthetic", "60", "--out", out,
+        "--partitions", "2", "--master", "local[4]",
+        "--prep-corpus",
+    ]
+    r = subprocess.run(cmd, capture_output=True, text=True, cwd="/root/repo", timeout=600)
+    assert r.returncode == 0, r.stderr[-2000:]
+    import json as j
+
+    stats = j.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["pages_in"] == 60
+    assert 0 < stats["corpus_out"] <= stats["after_exact_dedup"] <= 60
+    assert stats["out_dir"] == out
