@@ -953,6 +953,114 @@ def sql_emb_label_centroids(d: str) -> str:
     """
 
 
+def sql_ann_pq_topk(d: str) -> str:
+    """Product-quantization ANN — the third scale path next to LSH
+    and IVF (Jégou et al., "Product Quantization for Nearest
+    Neighbor Search"): vectors split into M=4 subspaces of 16 dims,
+    each subspace quantized to K=4 centroids, queries scored by
+    Asymmetric Distance Computation (query subvector → centroid
+    lookup table, corpus vector → its 4 codes; distance = sum of 4
+    table entries instead of a 64-dim scan). At lake scale the codes
+    table is 4 BYTES per vector (16× smaller than the int8-quantized
+    vector) and ADC reads the LUT, not the corpus — the memory-bound
+    regime PQ exists for.
+
+    Training is deterministic and EXACT-integer so both engines
+    agree bit-for-bit: seeds = corpus subvectors at ids
+    ((m·K+j)·37+11) mod N, one Lloyd refinement with integer-mean
+    centroids (sum div count per dimension), squared-L2 assignment
+    with (dist, j) tie-break. Centroids/subvectors live as
+    (m, j, dim, val) ROWS (the emb_label_centroids explode pattern)
+    so every step is a hash join + aggregate — no array re-collection
+    (collect_list order is nondeterministic)."""
+    q = pt.quantize_vec("embedding", d)
+    idiv = "div" if d == SPARK else "//"
+    if d == SPARK:
+        dims16 = "SELECT explode(sequence(1, 16)) AS dim"
+        ms = "SELECT explode(sequence(0, 3)) AS m"
+        js = "SELECT explode(sequence(0, 3)) AS j"
+        at = "element_at(e.q, ms.m * 16 + dims.dim)"
+    else:
+        dims16 = "SELECT unnest(generate_series(1, 16)) AS dim"
+        ms = "SELECT unnest(generate_series(0, 3)) AS m"
+        js = "SELECT unnest(generate_series(0, 3)) AS j"
+        at = "e.q[ms.m * 16 + dims.dim]"
+    return f"""
+    WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
+    nn AS (SELECT count(*) AS n FROM e),
+    dims AS ({dims16}),
+    ms AS ({ms}),
+    js AS ({js}),
+    subd AS (
+        SELECT e.vec_id, ms.m, dims.dim, {at} AS val
+        FROM e CROSS JOIN ms CROSS JOIN dims
+    ),
+    seedids AS (
+        SELECT ms.m, js.j, ((ms.m * 4 + js.j) * 37 + 11) % n AS sid
+        FROM ms CROSS JOIN js CROSS JOIN nn
+    ),
+    seedd AS (
+        SELECT s.m, s.j, sd.dim, sd.val AS cval
+        FROM seedids s JOIN subd sd ON sd.vec_id = s.sid AND sd.m = s.m
+    ),
+    d1 AS (
+        SELECT sd.vec_id, sd.m, c.j,
+               sum((sd.val - c.cval) * (sd.val - c.cval)) AS dist
+        FROM subd sd JOIN seedd c ON c.m = sd.m AND c.dim = sd.dim
+        GROUP BY sd.vec_id, sd.m, c.j
+    ),
+    a1 AS (
+        SELECT vec_id, m, j FROM (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+            FROM d1
+        ) t WHERE rn = 1
+    ),
+    centd AS (
+        SELECT a1.m, a1.j, sd.dim,
+               cast(sum(sd.val) AS bigint) {idiv} count(*) AS cval
+        FROM a1 JOIN subd sd ON sd.vec_id = a1.vec_id AND sd.m = a1.m
+        GROUP BY a1.m, a1.j, sd.dim
+    ),
+    d2 AS (
+        SELECT sd.vec_id, sd.m, c.j,
+               sum((sd.val - c.cval) * (sd.val - c.cval)) AS dist
+        FROM subd sd JOIN centd c ON c.m = sd.m AND c.dim = sd.dim
+        GROUP BY sd.vec_id, sd.m, c.j
+    ),
+    codes AS (
+        SELECT vec_id, m, j AS code FROM (
+            SELECT vec_id, m, j,
+                   row_number() OVER (PARTITION BY vec_id, m ORDER BY dist, j) AS rn
+            FROM d2
+        ) t WHERE rn = 1
+    ),
+    lutd AS (
+        SELECT sd.vec_id AS query_id, sd.m, c.j,
+               sum((sd.val - c.cval) * (sd.val - c.cval)) AS l2
+        FROM subd sd JOIN centd c ON c.m = sd.m AND c.dim = sd.dim
+        WHERE sd.vec_id < {_N_QUERIES}
+        GROUP BY sd.vec_id, sd.m, c.j
+    ),
+    adc AS (
+        SELECT l.query_id, co.vec_id AS neighbor_id,
+               cast(sum(l.l2) AS bigint) AS adc_dist
+        FROM codes co
+        JOIN lutd l ON l.m = co.m AND l.j = co.code
+        WHERE co.vec_id <> l.query_id
+        GROUP BY l.query_id, co.vec_id
+    )
+    SELECT query_id, neighbor_id, adc_dist, rnk
+    FROM (
+        SELECT query_id, neighbor_id, adc_dist,
+               row_number() OVER (
+                   PARTITION BY query_id ORDER BY adc_dist, neighbor_id
+               ) AS rnk
+        FROM adc
+    ) final WHERE rnk <= {_TOP_K}
+    """
+
+
 def sql_ann_lsh_buckets(d: str) -> str:
     """Random-hyperplane LSH bucketing of the embedding space — the
     scale path: bucket cardinalities stay bounded, so the within-bucket
@@ -2031,6 +2139,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "cube_order_mix": sql_cube_order_mix,
     "text_bm25": sql_text_bm25,
     "text_tfidf_terms": sql_text_tfidf_terms,
+    "ann_pq_topk": sql_ann_pq_topk,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,

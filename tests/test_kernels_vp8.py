@@ -169,3 +169,30 @@ def test_frame_sample_real_vp8i_digests(spark):
     expected = vp8.luma_digest(vp8.decode_frame(f1)["y"])
     assert rows[("real", 0)]["frame_digest"] == f"{expected:016x}"
     assert rows[("filler", 0)]["decoder"] == "stdlib-ebml-probe"
+
+
+def test_frame_roundtrip_property():
+    """Hypothesis: ANY uint8 image (random dims not multiples of 16,
+    any content) encodes → decodes with max error bounded by the
+    dequant step, and the bytes are deterministic."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=25, deadline=None)
+    @given(
+        st.integers(8, 40),
+        st.integers(8, 56),
+        st.integers(0, 127),
+        st.integers(0, 2**31 - 1),
+    )
+    def check(h, w, q, seed):
+        rng = np.random.default_rng(seed)
+        img = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        data = vp8.encode_frame(img, q_index=q)
+        assert vp8.encode_frame(img, q_index=q) == data
+        out = vp8.decode_frame(data)
+        assert out["y"].shape == (h, w)
+        dc_q, ac_q = vp8.quant_for_index(q)
+        err = np.abs(out["y"].astype(int) - img.astype(int)).max()
+        assert err <= ac_q * 2 + 8
+
+    check()
