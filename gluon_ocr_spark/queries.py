@@ -550,6 +550,89 @@ def sql_text_tfidf_terms(d: str) -> str:
     """
 
 
+def sql_text_dedup_spans(d: str) -> str:
+    """SPAN-level exact-substring dedup (Lee et al., "Deduplicating
+    Training Data Makes Language Models Better"; the SlimPajama /
+    RefinedWeb curation step): REMOVE from every document the token
+    spans whose K-gram (K=8 here) occurs in more than one document —
+    doc-level dedup keeps boilerplate that rides inside otherwise-
+    unique pages; this kills the shared spans themselves. The true
+    Lee et al. construction uses suffix arrays for arbitrary-length
+    matches; the K-gram-seeded variant is the standard distributed
+    approximation (any duplicated run ≥ K tokens is covered by its
+    K-gram seeds, so whole runs are removed; runs < K survive —
+    documented recall bound).
+
+    Fully relational, both engines: position-carrying K-gram hashes →
+    cross-doc df → duplicated starts → covered token indexes
+    (sequence explode) → anti-join against the token-position table →
+    ORDERED re-aggregation of the survivors. One shuffle for df, one
+    for the re-aggregation; at lake scale the K-gram df table is the
+    same materialized shingle projection the minhash family reads."""
+    toks = pt.tokens("text", d)
+    k = 8
+    if d == SPARK:
+        gram = f"concat_ws(' ', slice(w, i, {k}))"
+        starts = (
+            f"CASE WHEN size(w) >= {k} THEN transform(sequence(1, size(w) - {k - 1}), "
+            f"i -> struct(i AS s, {pt.hex15(gram, d)} % {pt.P} AS g)) "
+            f"ELSE array() END"
+        )
+        gpos_body = "SELECT doc_id, es.s AS s, es.g AS gh FROM g LATERAL VIEW explode(gs) ev AS es"
+        cover = f"explode(sequence(ds.s, ds.s + {k - 1}))"
+        rebuild = (
+            "array_join(transform(array_sort(collect_list(struct(idx, tok))), "
+            "x -> x.tok), ' ')"
+        )
+        tok_at = "element_at(w, idx)"
+        idx_seq = "explode(sequence(1, size(w)))"
+    else:
+        gram = f"list_aggregate(list_slice(w, i, i + {k - 1}), 'string_agg', ' ')"
+        starts = (
+            f"CASE WHEN len(w) >= {k} THEN list_transform(generate_series(1, len(w) - {k - 1}), "
+            f"i -> {{'s': i, 'g': {pt.hex15(gram, d)} % {pt.P}}}) "
+            f"ELSE [] END"
+        )
+        gpos_body = (
+            "SELECT doc_id, u.s AS s, u.g AS gh "
+            "FROM (SELECT doc_id, unnest(gs) AS u FROM g) xx"
+        )
+        cover = f"unnest(generate_series(ds.s, ds.s + {k - 1}))"
+        rebuild = "string_agg(tok, ' ' ORDER BY idx)"
+        tok_at = "w[idx]"
+        idx_seq = "unnest(generate_series(1, len(w)))"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    g AS (SELECT doc_id, {starts} AS gs FROM t),
+    gpos AS ({gpos_body}),
+    dup AS (
+        SELECT gh FROM gpos GROUP BY gh HAVING count(DISTINCT doc_id) > 1
+    ),
+    covered AS (
+        SELECT DISTINCT ds.doc_id, {cover} AS idx
+        FROM gpos ds JOIN dup ON ds.gh = dup.gh
+    ),
+    tokpos AS (
+        SELECT doc_id, idx, {tok_at} AS tok
+        FROM (SELECT doc_id, w, {idx_seq} AS idx FROM t) x
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.idx, tp.tok
+        FROM tokpos tp
+        LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.idx = tp.idx
+        WHERE c.idx IS NULL
+    )
+    SELECT t.doc_id,
+           coalesce(k2.cleaned, '') AS cleaned_text,
+           coalesce(k2.n_kept, 0) AS n_kept_tokens
+    FROM t
+    LEFT JOIN (
+        SELECT doc_id, {rebuild} AS cleaned, count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ) k2 ON k2.doc_id = t.doc_id
+    """
+
+
 def sql_dedup_exact(d: str) -> str:
     """Exact dedup via content-hash groupBy (map-side combinable; at
     scale this is a single shuffle on the 128-bit hash)."""
@@ -2140,6 +2223,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_bm25": sql_text_bm25,
     "text_tfidf_terms": sql_text_tfidf_terms,
     "ann_pq_topk": sql_ann_pq_topk,
+    "text_dedup_spans": sql_text_dedup_spans,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,

@@ -1,0 +1,56 @@
+"""Span-level exact-substring dedup: semantics pinned via DuckDB on a
+hand-built corpus (the Spark twin is driver-gated by text_dedup_spans)."""
+
+import duckdb
+
+from gluon_ocr_spark.queries import sql_text_dedup_spans
+
+
+def _run(docs):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+    return {r[0]: (r[1], r[2]) for r in con.execute(sql_text_dedup_spans("duck")).fetchall()}
+
+
+BOILER = "subscribe to our newsletter for the latest updates and offers today"  # 11 tokens
+
+
+def test_shared_run_removed_from_every_doc():
+    a = "unique alpha content one two three " + BOILER
+    b = BOILER + " totally different tail about rivers and lakes"
+    c = "standalone document with nothing shared at all here okay then"
+    out = _run([(1, a), (2, b), (3, c)])
+    for doc in (1, 2):
+        cleaned, _ = out[doc]
+        assert "subscribe" not in cleaned and "offers" not in cleaned
+    assert out[1][0].startswith("unique alpha content")
+    assert out[3] == (
+        "standalone document with nothing shared at all here okay then",
+        10,
+    )
+
+
+def test_runs_shorter_than_k_survive():
+    # 5 shared tokens < K=8: no 8-gram seed covers them
+    shared5 = "one two three four five"
+    a = f"alpha beta gamma delta epsilon zeta eta {shared5}"
+    b = f"{shared5} omega psi chi phi upsilon tau sigma"
+    out = _run([(1, a), (2, b)])
+    assert out[1][1] == len(a.split())  # nothing removed
+    assert out[2][1] == len(b.split())
+
+
+def test_whole_doc_duplicate_empties_both():
+    t = "this entire document body is duplicated verbatim elsewhere okay"
+    out = _run([(1, t), (2, t)])
+    assert out[1] == ("", 0) and out[2] == ("", 0)
+
+
+def test_within_doc_repetition_alone_not_removed():
+    # the SAME 8-gram twice in ONE doc: df counts DISTINCT docs, so
+    # self-repetition is the Gopher gate's job, not cross-doc dedup's
+    run = "a b c d e f g h"
+    t = f"{run} x y z {run}"
+    out = _run([(1, t), (2, "unrelated content entirely different words")])
+    assert out[1][1] == len(t.split())
