@@ -62,6 +62,12 @@ BENCH_QUERIES = (
     "extract_roundtrip",
     "extract_pdf_roundtrip",
     "web_url_dedup",
+    # round-4 additions: ranked retrieval, PQ codebook+ADC, and the
+    # span-removal dedup (corpus_prep_dedup stays out — its CC cost
+    # is already represented by dedup_clusters)
+    "text_bm25",
+    "ann_pq_topk",
+    "text_dedup_spans",
 )
 
 
