@@ -550,6 +550,76 @@ def sql_text_tfidf_terms(d: str) -> str:
     """
 
 
+def sql_corpus_pack_sequences(d: str) -> str:
+    """GPT-style sequence PACKING plan: documents concatenate in a
+    canonical order into fixed L=2048-token training sequences,
+    straddling boundaries (the standard pretraining layout — no
+    padding waste). Emits each doc's byte-position in the packed
+    stream: start offset, first/last sequence id, and whether it
+    straddles a boundary. Pure window-cumsum integer math — ONE sort
+    by the canonical key; at lake scale this is the final
+    shard-writer's manifest computation (ordering by doc_id keeps it
+    reproducible across runs/partitionings)."""
+    toks = pt.tokens("text", d)
+    n = pt.arr_size(toks, d)
+    idiv = "div" if d == SPARK else "//"
+    seq_len = 2048
+    return f"""
+    WITH t AS (SELECT doc_id, {n} AS n_tokens FROM documents),
+    c AS (
+        SELECT doc_id, n_tokens,
+               CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   - n_tokens AS start_off
+        FROM t
+    )
+    SELECT doc_id, n_tokens, start_off,
+           start_off {idiv} {seq_len} AS seq_first,
+           (start_off + n_tokens - 1) {idiv} {seq_len} AS seq_last,
+           start_off {idiv} {seq_len} <> (start_off + n_tokens - 1) {idiv} {seq_len}
+               AS straddles
+    FROM c
+    """
+
+
+def sql_corpus_mix_allocation(d: str) -> str:
+    """Training-mix token BUDGETING with largest-remainder rounding:
+    allocate a 1,000,000-token budget across languages proportionally
+    to their corpus token counts, exactly (allocations sum to the
+    budget bit-for-bit — naive floor allocation under-spends and
+    float shares drift across engines). floor share = budget·n_lang
+    div n_total; the leftover goes to the largest remainders
+    (budget·n_lang mod n_total), ties by lang. One aggregate + one
+    1-row broadcast + one tiny window — the mixture-weights step
+    every pretraining data pipeline runs."""
+    toks = pt.tokens("text", d)
+    n = pt.arr_size(toks, d)
+    idiv = "div" if d == SPARK else "//"
+    budget = 1_000_000
+    return f"""
+    WITH lt AS (
+        SELECT lang, CAST(sum({n}) AS BIGINT) AS lang_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total FROM lt),
+    base AS (
+        SELECT lang, lang_tokens,
+               ({budget} * lang_tokens) {idiv} total AS floor_alloc,
+               ({budget} * lang_tokens) % total AS remainder,
+               {budget} - CAST(sum(({budget} * lang_tokens) {idiv} total)
+                   OVER () AS BIGINT) AS leftover
+        FROM lt CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY remainder DESC, lang) AS rk
+        FROM base
+    )
+    SELECT lang, lang_tokens, floor_alloc,
+           floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
+    FROM ranked
+    """
+
+
 def sql_text_dedup_spans(d: str) -> str:
     """SPAN-level exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"; the SlimPajama /
@@ -2224,6 +2294,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_tfidf_terms": sql_text_tfidf_terms,
     "ann_pq_topk": sql_ann_pq_topk,
     "text_dedup_spans": sql_text_dedup_spans,
+    "corpus_pack_sequences": sql_corpus_pack_sequences,
+    "corpus_mix_allocation": sql_corpus_mix_allocation,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,
