@@ -550,6 +550,64 @@ def sql_text_tfidf_terms(d: str) -> str:
     """
 
 
+def sql_dedup_lsh_recall(d: str) -> str:
+    """MEASURE the MinHash-LSH candidate generator against exact
+    ground truth — the receipt a production dedup pipeline keeps for
+    its probabilistic stage: ground truth = all pairs with token-set
+    Jaccard ≥ 0.8 (the lang-blocked exactness baseline), candidates =
+    the band-bucket pairs. Emits found/missed/extra counts per
+    language block plus the corpus totals row (lang = '*'). Recall
+    gaps here quantify exactly what the 16-sig/4-band parameters
+    trade away; precision gaps are what the Jaccard-verify stage
+    (drop_near_dups) filters back out."""
+    ts = pt.arr_distinct(pt.tokens("text", d), d)
+    inter = (
+        "size(array_intersect(a.ts, b.ts))" if d == SPARK else "len(list_intersect(a.ts, b.ts))"
+    )
+    bands = sql_dedup_minhash_bands(d)
+    return f"""
+    WITH s AS (SELECT doc_id, lang, {ts} AS ts FROM documents),
+    truth AS (
+        SELECT a.lang, a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE cast({inter} AS double)
+              / ({pt.arr_size('a.ts', d)} + {pt.arr_size('b.ts', d)} - {inter}) >= 0.8
+    ),
+    bands AS ({bands}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+    ),
+    joined AS (
+        SELECT coalesce(t.lang, '*') AS lang,
+               CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS found,
+               CASE WHEN t.doc_a IS NOT NULL AND c.doc_a IS NULL THEN 1 ELSE 0 END AS missed,
+               CASE WHEN t.doc_a IS NULL THEN 1 ELSE 0 END AS extra
+        FROM truth t
+        FULL OUTER JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    ),
+    per_lang AS (
+        SELECT lang,
+               CAST(sum(found) AS BIGINT) AS n_found,
+               CAST(sum(missed) AS BIGINT) AS n_missed,
+               CAST(sum(extra) AS BIGINT) AS n_extra
+        FROM joined WHERE lang <> '*'
+        GROUP BY lang
+    ),
+    total AS (
+        SELECT '*' AS lang,
+               CAST(sum(found) AS BIGINT) AS n_found,
+               CAST(sum(missed) AS BIGINT) AS n_missed,
+               CAST(sum(extra) AS BIGINT) AS n_extra
+        FROM joined
+    )
+    SELECT lang, n_found, n_missed, n_extra,
+           round(cast(n_found AS double) / nullif(n_found + n_missed, 0), 4) AS recall
+    FROM (SELECT * FROM per_lang UNION ALL SELECT * FROM total) u
+    """
+
+
 def sql_corpus_pack_sequences(d: str) -> str:
     """GPT-style sequence PACKING plan: documents concatenate in a
     canonical order into fixed L=2048-token training sequences,
@@ -2295,6 +2353,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "ann_pq_topk": sql_ann_pq_topk,
     "text_dedup_spans": sql_text_dedup_spans,
     "corpus_pack_sequences": sql_corpus_pack_sequences,
+    "dedup_lsh_recall": sql_dedup_lsh_recall,
     "corpus_mix_allocation": sql_corpus_mix_allocation,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
