@@ -550,6 +550,54 @@ def sql_text_tfidf_terms(d: str) -> str:
     """
 
 
+def sql_text_inverted_postings(d: str) -> str:
+    """Build the INVERTED INDEX itself — the materialization BM25 /
+    tf·idf read at serve time: per term, document frequency, total
+    term frequency, and the top-8 postings serialized as
+    ``doc:tf,...`` in (tf desc, doc_id) order. Deterministic
+    serialization matters: Spark's collect_list order is
+    partition-dependent, so postings sort by an explicit rank struct
+    before joining (DuckDB's ORDER BY inside string_agg is the
+    mirror). Restricted to df ≥ 10 terms (the index head — the long
+    tail ships in shards at scale); one explode shuffle + one term
+    window + one agg."""
+    toks = pt.tokens("text", d)
+    explode = "explode" if d == SPARK else "unnest"
+    if d == SPARK:
+        postings = (
+            "array_join(transform(array_sort(collect_list(struct(rk, doc_id, tf))), "
+            "x -> concat(cast(x.doc_id AS string), ':', cast(x.tf AS string))), ',')"
+        )
+    else:
+        postings = (
+            "string_agg(cast(doc_id AS varchar) || ':' || cast(tf AS varchar), ',' ORDER BY rk)"
+        )
+    return f"""
+    WITH tf AS (
+        SELECT doc_id, term, count(*) AS tf
+        FROM (SELECT doc_id, {explode}({toks}) AS term FROM documents) x
+        GROUP BY doc_id, term
+    ),
+    stats AS (
+        SELECT term, count(*) AS df, CAST(sum(tf) AS BIGINT) AS total_tf
+        FROM tf GROUP BY term HAVING count(*) >= 10
+    ),
+    ranked AS (
+        SELECT tf.term, tf.doc_id, tf.tf,
+               row_number() OVER (
+                   PARTITION BY tf.term ORDER BY tf.tf DESC, tf.doc_id
+               ) AS rk
+        FROM tf JOIN stats ON tf.term = stats.term
+    ),
+    top AS (
+        SELECT term, {postings} AS postings
+        FROM ranked WHERE rk <= 8 GROUP BY term
+    )
+    SELECT s.term, s.df, s.total_tf, t.postings
+    FROM stats s JOIN top t ON s.term = t.term
+    """
+
+
 def sql_dedup_lsh_recall(d: str) -> str:
     """MEASURE the MinHash-LSH candidate generator against exact
     ground truth — the receipt a production dedup pipeline keeps for
@@ -2354,6 +2402,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_dedup_spans": sql_text_dedup_spans,
     "corpus_pack_sequences": sql_corpus_pack_sequences,
     "dedup_lsh_recall": sql_dedup_lsh_recall,
+    "text_inverted_postings": sql_text_inverted_postings,
     "corpus_mix_allocation": sql_corpus_mix_allocation,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
