@@ -46,6 +46,7 @@ def drop_near_dups(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.8,
+    cc_workdir: str | None = None,
 ) -> DataFrame:
     """Keeps only the canonical (min-id) doc per NEAR-duplicate
     cluster — the production prune that :func:`drop_exact_dups`
@@ -72,7 +73,14 @@ def drop_near_dups(
     """
     cand = minhash_candidate_pairs(df, id_col, text_col, materialize=True)
     pairs = jaccard_verify(df, cand, id_col, text_col, threshold).select("doc_a", "doc_b")
-    labels = connected_components(pairs)
+    # cc_workdir: durable per-round snapshots (object storage at the
+    # lake) so a driver/executor loss mid-CC costs one round, not the
+    # whole prune — the north rule's resumable-from-checkpoint
+    # contract applied to the iterative stage
+    if cc_workdir is not None:
+        labels = connected_components_resumable(df.sparkSession, pairs, cc_workdir)
+    else:
+        labels = connected_components(pairs)
     return (
         df.join(
             labels.withColumnRenamed("node", id_col).withColumnRenamed(

@@ -39,6 +39,7 @@ def prepare_corpus(
     max_tokens: int = 100_000,
     max_dup_bigram_frac: float = 0.9,
     near_dedup: bool = True,
+    cc_workdir: str | None = None,
 ) -> dict:
     """Run the full prep pipeline; returns stage counters.
 
@@ -72,7 +73,9 @@ def prepare_corpus(
         # boilerplate that exact hashing cannot see.
         obs_exact = Observation("after_exact_dedup")
         deduped = deduped.observe(obs_exact, F.count(F.lit(1)).alias("n"))
-        deduped = drop_near_dups(deduped, id_col="url", text_col="text")
+        # cc_workdir (object storage at the lake) makes the iterative
+        # CC stage resumable: a failure mid-prune costs one star round
+        deduped = drop_near_dups(deduped, id_col="url", text_col="text", cc_workdir=cc_workdir)
     else:
         obs_exact = None
     keep = deduped.select(

@@ -75,3 +75,40 @@ def test_prepare_corpus_near_dedup_collapses_chain(spark, tmp_path):
     stats2 = prepare_corpus(spark, pages, out2, num_partitions=2, near_dedup=False)
     assert stats2["corpus_out"] == 4
     assert "after_exact_dedup" not in stats2
+
+
+def test_prepare_corpus_near_dedup_resumable_cc(spark, tmp_path):
+    """cc_workdir routes the near-dup prune through the durable
+    connected_components_resumable: same kept set as the in-memory
+    CC, with round snapshots on disk (the crash-resume surface)."""
+    import os
+
+    from gluon_ocr_spark.sources.pages import wrap_text_as_page
+
+    base = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+        "kilo lima mike november oscar papa quebec romeo sierra tango "
+        "uniform victor whiskey xray yankee zulu one two three four"
+    )
+    texts = {
+        "a": base + " five",
+        "b": base + " six",
+        "solo": (
+            "entirely different document about rivers lakes mountains "
+            "valleys forests deserts plains glaciers islands deltas "
+            "estuaries canyons plateaus ridges summits basins fjords"
+        ),
+    }
+    rows = [
+        (f"page://{k}", bytearray(wrap_text_as_page(i, t)))
+        for i, (k, t) in enumerate(sorted(texts.items()))
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    out = str(tmp_path / "corpus")
+    ccdir = str(tmp_path / "cc_work")
+    stats = prepare_corpus(spark, pages, out, num_partitions=2, cc_workdir=ccdir)
+    kept = sorted(r["url"] for r in spark.read.parquet(out).select("url").collect())
+    assert kept == ["page://a", "page://solo"]
+    assert stats["corpus_out"] == 2
+    # durable round snapshots exist (round=0000 at minimum)
+    assert os.path.exists(os.path.join(ccdir, "round=0000", "_SUCCESS"))
