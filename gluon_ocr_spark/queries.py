@@ -448,7 +448,24 @@ def sql_corpus_sample_stratified(d: str) -> str:
     """
 
 
-def sql_text_bm25(d: str) -> str:
+def _bm25_t_sql(d: str) -> str:
+    """The (doc_id, dl, tf-per-term) projection both the stats
+    aggregate and the scoring scan read."""
+    terms = ("spark", "join", "window")
+    toks = pt.tokens("text", d)
+    tf_cols = ", ".join(
+        "{expr} AS tf{i}".format(
+            expr=pt.arr_size(pt.arr_filter("w", "x -> x = '%s'" % t, d), d), i=i
+        )
+        for i, t in enumerate(terms)
+    )
+    return (
+        f"SELECT doc_id, {pt.arr_size('w', d)} AS dl, {tf_cols} "
+        f"FROM (SELECT doc_id, {toks} AS w FROM documents) raw_t"
+    )
+
+
+def sql_text_bm25(d: str, t_source: str | None = None) -> str:
     """BM25-shaped ranked retrieval over the corpus (k1=1.2, b=0.75)
     for a fixed 3-term query — the curation/search primitive a
     training-data pipeline uses for targeted sampling ("find docs
@@ -475,13 +492,6 @@ def sql_text_bm25(d: str) -> str:
     the scoring arithmetic is unchanged."""
     terms = ("spark", "join", "window")
     idiv = "div" if d == SPARK else "//"
-    toks = pt.tokens("text", d)
-    tf_cols = ", ".join(
-        "{expr} AS tf{i}".format(
-            expr=pt.arr_size(pt.arr_filter("w", "x -> x = '%s'" % t, d), d), i=i
-        )
-        for i, t in enumerate(terms)
-    )
     df_cols = ", ".join(
         f"CAST(sum(CASE WHEN tf{i} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df{i}"
         for i in range(len(terms))
@@ -493,11 +503,9 @@ def sql_text_bm25(d: str) -> str:
         f" ELSE 0 END)"
         for i in range(len(terms))
     )
+    t_body = _bm25_t_sql(d) if t_source is None else f"SELECT * FROM {t_source}"
     return f"""
-    WITH t AS (
-        SELECT doc_id, {pt.arr_size('w', d)} AS dl, {tf_cols}
-        FROM (SELECT doc_id, {toks} AS w FROM documents) raw_t
-    ),
+    WITH t AS ({t_body}),
     stats AS (
         SELECT count(*) AS n, CAST(sum(dl) AS BIGINT) AS a, {df_cols} FROM t
     )
@@ -510,7 +518,17 @@ def sql_text_bm25(d: str) -> str:
     """
 
 
-def sql_text_tfidf_terms(d: str) -> str:
+def _tfidf_tf_sql(d: str) -> str:
+    toks = pt.tokens("text", d)
+    explode = "explode" if d == SPARK else "unnest"
+    return (
+        f"SELECT doc_id, term, count(*) AS tf "
+        f"FROM (SELECT doc_id, {explode}({toks}) AS term FROM documents) x "
+        f"GROUP BY doc_id, term"
+    )
+
+
+def sql_text_tfidf_terms(d: str, tf_source: str | None = None) -> str:
     """Per-document top-3 keywords by tf·idf — the curation/labeling
     primitive (topic tagging, cluster naming, targeted sampling) next
     to text_bm25's query-side ranking. Same log-free integer IDF
@@ -525,12 +543,9 @@ def sql_text_tfidf_terms(d: str) -> str:
     toks = pt.tokens("text", d)
     explode = "explode" if d == SPARK else "unnest"
     idiv = "div" if d == SPARK else "//"
+    tf_body = _tfidf_tf_sql(d) if tf_source is None else f"SELECT * FROM {tf_source}"
     return f"""
-    WITH tf AS (
-        SELECT doc_id, term, count(*) AS tf
-        FROM (SELECT doc_id, {explode}({toks}) AS term FROM documents) x
-        GROUP BY doc_id, term
-    ),
+    WITH tf AS ({tf_body}),
     dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
     nn AS (SELECT count(*) AS n FROM documents),
     scored AS (
@@ -3148,6 +3163,32 @@ def dedup_simhash_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(docs, materialize=True)
 
 
+def text_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator override of sql_text_bm25: the (doc_id, dl, tf*)
+    projection — the expensive token pass — persists ONCE instead of
+    running for the stats aggregate AND the scoring scan (the CTE is
+    evaluated per reference; measured ~2× at sf0.1). Same rows as the
+    template; the DuckDB oracle keeps the inline CTE."""
+    from pyspark import StorageLevel
+
+    register_views(spark, sf_dir)
+    t = spark.sql(_bm25_t_sql(SPARK)).persist(StorageLevel.MEMORY_AND_DISK)
+    t.createOrReplaceTempView("bm25_t")
+    return spark.sql(sql_text_bm25(SPARK, t_source="bm25_t"))
+
+
+def text_tfidf_terms_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator override of sql_text_tfidf_terms: the per-(doc, term)
+    tf table persists once (referenced by the df aggregate and the
+    scoring join). Same rows as the template."""
+    from pyspark import StorageLevel
+
+    register_views(spark, sf_dir)
+    tf = spark.sql(_tfidf_tf_sql(SPARK)).persist(StorageLevel.MEMORY_AND_DISK)
+    tf.createOrReplaceTempView("tfidf_tf")
+    return spark.sql(sql_text_tfidf_terms(SPARK, tf_source="tfidf_tf"))
+
+
 def _web_query_persisted(tmpl) -> Callable[[SparkSession, str], DataFrame]:
     """Spark-side twin of a web_* SQL template with the raw-URL
     synthesis PERSISTED before the parse (VERDICT r3: the collapsed
@@ -3196,6 +3237,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_prep_roundtrip"] = corpus_prep_roundtrip_query
     out["corpus_prep_dedup"] = corpus_prep_dedup_query
     out["text_bpe_merged"] = text_bpe_merged_query  # rows-only (no SQL oracle)
+    out["text_bm25"] = text_bm25_query
+    out["text_tfidf_terms"] = text_tfidf_terms_query
     # codegen-split overrides (persisted raw URL projection; see
     # _web_query_persisted) — same rows as the SQL templates
     out["web_url_canonical"] = _web_query_persisted(sql_web_url_canonical)
