@@ -1227,7 +1227,33 @@ def sql_emb_label_centroids(d: str) -> str:
     """
 
 
-def sql_ann_pq_topk(d: str) -> str:
+def _pq_dialect(d: str):
+    q = pt.quantize_vec("embedding", d)
+    if d == SPARK:
+        dims16 = "SELECT explode(sequence(1, 16)) AS dim"
+        ms = "SELECT explode(sequence(0, 3)) AS m"
+        js = "SELECT explode(sequence(0, 3)) AS j"
+        at = "element_at(e.q, ms.m * 16 + dims.dim)"
+    else:
+        dims16 = "SELECT unnest(generate_series(1, 16)) AS dim"
+        ms = "SELECT unnest(generate_series(0, 3)) AS m"
+        js = "SELECT unnest(generate_series(0, 3)) AS j"
+        at = "e.q[ms.m * 16 + dims.dim]"
+    return q, dims16, ms, js, at
+
+
+def _pq_subd_sql(d: str) -> str:
+    """The (vec_id, m, dim, val) subvector table every PQ stage
+    reads."""
+    q, dims16, ms, _js, at = _pq_dialect(d)
+    return (
+        f"SELECT e.vec_id, ms.m, dims.dim, {at} AS val "
+        f"FROM (SELECT vec_id, {q} AS q FROM embeddings) e "
+        f"CROSS JOIN ({ms}) ms CROSS JOIN ({dims16}) dims"
+    )
+
+
+def sql_ann_pq_topk(d: str, subd_source: str | None = None) -> str:
     """Product-quantization ANN — the third scale path next to LSH
     and IVF (Jégou et al., "Product Quantization for Nearest
     Neighbor Search"): vectors split into M=4 subspaces of 16 dims,
@@ -1247,28 +1273,16 @@ def sql_ann_pq_topk(d: str) -> str:
     (m, j, dim, val) ROWS (the emb_label_centroids explode pattern)
     so every step is a hash join + aggregate — no array re-collection
     (collect_list order is nondeterministic)."""
-    q = pt.quantize_vec("embedding", d)
+    q, dims16, ms, js, _at = _pq_dialect(d)
     idiv = "div" if d == SPARK else "//"
-    if d == SPARK:
-        dims16 = "SELECT explode(sequence(1, 16)) AS dim"
-        ms = "SELECT explode(sequence(0, 3)) AS m"
-        js = "SELECT explode(sequence(0, 3)) AS j"
-        at = "element_at(e.q, ms.m * 16 + dims.dim)"
-    else:
-        dims16 = "SELECT unnest(generate_series(1, 16)) AS dim"
-        ms = "SELECT unnest(generate_series(0, 3)) AS m"
-        js = "SELECT unnest(generate_series(0, 3)) AS j"
-        at = "e.q[ms.m * 16 + dims.dim]"
+    subd_body = _pq_subd_sql(d) if subd_source is None else f"SELECT * FROM {subd_source}"
     return f"""
     WITH e AS (SELECT vec_id, {q} AS q FROM embeddings),
     nn AS (SELECT count(*) AS n FROM e),
     dims AS ({dims16}),
     ms AS ({ms}),
     js AS ({js}),
-    subd AS (
-        SELECT e.vec_id, ms.m, dims.dim, {at} AS val
-        FROM e CROSS JOIN ms CROSS JOIN dims
-    ),
+    subd AS ({subd_body}),
     seedids AS (
         SELECT ms.m, js.j, ((ms.m * 4 + js.j) * 37 + 11) % n AS sid
         FROM ms CROSS JOIN js CROSS JOIN nn
@@ -3163,6 +3177,19 @@ def dedup_simhash_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(docs, materialize=True)
 
 
+def ann_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator override of sql_ann_pq_topk: the (vec_id, m, dim,
+    val) subvector table is read FOUR times (seed extraction, two
+    assignment rounds, the query LUT) and Spark evaluates the CTE per
+    reference — persist it once. Same rows as the template."""
+    from pyspark import StorageLevel
+
+    register_views(spark, sf_dir)
+    subd = spark.sql(_pq_subd_sql(SPARK)).persist(StorageLevel.MEMORY_AND_DISK)
+    subd.createOrReplaceTempView("pq_subd")
+    return spark.sql(sql_ann_pq_topk(SPARK, subd_source="pq_subd"))
+
+
 def text_bm25_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator override of sql_text_bm25: the (doc_id, dl, tf*)
     projection — the expensive token pass — persists ONCE instead of
@@ -3238,6 +3265,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_prep_dedup"] = corpus_prep_dedup_query
     out["text_bpe_merged"] = text_bpe_merged_query  # rows-only (no SQL oracle)
     out["text_bm25"] = text_bm25_query
+    out["ann_pq_topk"] = ann_pq_topk_query
     out["text_tfidf_terms"] = text_tfidf_terms_query
     # codegen-split overrides (persisted raw URL projection; see
     # _web_query_persisted) — same rows as the SQL templates
