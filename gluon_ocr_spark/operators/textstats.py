@@ -166,3 +166,98 @@ def with_compress_ratio(df: DataFrame, text_col: str = "text") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(gen, schema=out_schema)
+
+
+def remove_dup_spans(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", k: int = 8
+) -> DataFrame:
+    """Span-level exact-substring dedup as a production transform
+    (Lee et al.; the sql_text_dedup_spans template is the gated twin):
+    REMOVES from every document the token spans whose ``k``-gram
+    occurs in more than one document, returning the input frame with
+    ``text_col`` rewritten (and empty-text rows for fully-duplicated
+    docs). Any duplicated run ≥ k tokens is covered by its k-gram
+    seeds; runs < k survive — the documented recall bound.
+
+    Shape: position-carrying k-gram hashes (single scan, inline
+    expression), df on the hash (count DISTINCT doc), covered-index
+    explode, anti-join on token positions, ordered rebuild via
+    sorted-struct aggregation (collect_list alone is partition-order
+    nondeterministic). Two shuffles; the k-gram projection is the
+    shingle table the minhash family already materializes at scale.
+    """
+    from pyspark.sql import functions as F
+
+    from ..functions import portable as pt
+    from ..functions.portable import SPARK
+
+    hexpr = pt.hex15("concat_ws(' ', slice(w, i, %d))" % k, SPARK)
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.expr(pt.tokens(text_col, SPARK)).alias("w"),
+    )
+    grams = toks.select(
+        "__id",
+        F.expr(
+            f"CASE WHEN size(w) >= {k} THEN transform(sequence(1, size(w) - {k - 1}), "
+            f"i -> struct(i AS s, {hexpr} % {pt.P} AS g)) ELSE array() END"
+        ).alias("gs"),
+    ).select("__id", F.explode("gs").alias("sg")).select(
+        "__id", F.col("sg.s").alias("s"), F.col("sg.g").alias("gh")
+    )
+    dup = (
+        grams.groupBy("gh")
+        .agg(F.countDistinct("__id").alias("ndocs"))
+        .where(F.col("ndocs") > 1)
+        .select("gh")
+    )
+    covered = (
+        grams.join(dup, "gh")
+        .select("__id", F.explode(F.expr(f"sequence(s, s + {k - 1})")).alias("idx"))
+        .distinct()
+    )
+    tokpos = toks.select(
+        "__id", F.posexplode("w").alias("idx0", "tok")
+    ).select("__id", (F.col("idx0") + 1).alias("idx"), "tok")
+    kept = tokpos.join(covered, ["__id", "idx"], "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok), ' ')"
+        ).alias("__cleaned")
+    )
+    return (
+        df.join(rebuilt, F.col(id_col) == F.col("__id"), "left")
+        .withColumn(text_col, F.coalesce("__cleaned", F.lit("")))
+        .drop("__id", "__cleaned")
+    )
+
+
+def train_bpe_on_corpus(
+    df: DataFrame,
+    text_col: str = "text",
+    n_merges: int = 200,
+    sample_mod: int = 1_000_000,
+    sample_lt: int = 100_000,
+) -> list[tuple[bytes, bytes]]:
+    """Train the BPE merges table ON the corpus — the tokenizer-
+    training step of a pretraining pipeline, done the way production
+    systems do it: tokenizer training is inherently sequential (each
+    merge depends on the global pair counts AFTER the previous
+    merge), so it runs on a DETERMINISTIC sample collected to the
+    driver (hash-threshold selection — rerunning on any partitioning
+    selects the same documents; default keeps ~10%), and the
+    resulting table is broadcast to executors for encoding
+    (text_bpe_merged's S10 pattern). Training itself is
+    order-independent (pair counts aggregate over the sample;
+    ties break lexicographically), so the collected row order
+    cannot leak into the merges."""
+    from pyspark.sql import functions as F
+
+    from ..kernels.bpe import train_merges
+
+    sample = (
+        df.select(F.col(text_col).alias("t"))
+        .where(F.expr(f"pmod(xxhash64({text_col}), {sample_mod})") < sample_lt)
+        .collect()
+    )
+    return train_merges([r["t"] for r in sample], n_merges)

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from .operators.dedup import drop_exact_dups, drop_near_dups
 from .operators.extract import extract_docs
 from .operators.textstats import (
+    remove_dup_spans,
     with_fingerprint,
     with_quality,
     with_repetition,
@@ -40,6 +41,7 @@ def prepare_corpus(
     max_dup_bigram_frac: float = 0.9,
     near_dedup: bool = True,
     cc_workdir: str | None = None,
+    remove_spans: bool = False,
 ) -> dict:
     """Run the full prep pipeline; returns stage counters.
 
@@ -54,7 +56,30 @@ def prepare_corpus(
     obs_out = Observation("corpus_out")
 
     docs = extract_docs(pages, num_partitions=num_partitions)
-    docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
+    if remove_spans:
+        # span-level exact-substring dedup BEFORE the gates: removal
+        # changes token counts, so quality judges the cleaned text
+        # (fully-duplicated docs empty out and fall to the n_chars
+        # gate — stricter than the doc-level canonical keep alone).
+        # The observation attaches AFTER this stage (row-preserving
+        # left join) — inside it the docs node fans out into the
+        # gram/token/rebuild branches and a CollectMetrics there
+        # double-fires.
+        docs = remove_dup_spans(docs, id_col="url", text_col="text")
+    pages_in_count: int | None = None
+    if remove_spans:
+        # cut the lineage: the span stage fans the docs node into
+        # gram/token/rebuild branches and the stages below self-
+        # reference again — a CollectMetrics in that DAG is duplicated
+        # across branches and Observation.get asserts; checkpoint
+        # materialization also bypasses the listener that captures
+        # observed metrics. So snapshot the cleaned docs once and
+        # count the SNAPSHOT (no lake rescan). On a cluster prefer
+        # reliable checkpoint()/a table write.
+        docs = docs.localCheckpoint(eager=True)
+        pages_in_count = docs.count()
+    else:
+        docs = docs.observe(obs_in, F.count(F.lit(1)).alias("n"))
     docs = with_repetition(with_fingerprint(with_quality(with_token_stats(docs))))
     qualified = docs.where(
         (F.col("n_tokens") >= min_tokens)
@@ -71,13 +96,23 @@ def prepare_corpus(
         # pairs → connected components → keep component-min docs.
         # Without it the corpus ships A~B~C chains of lightly-edited
         # boilerplate that exact hashing cannot see.
-        obs_exact = Observation("after_exact_dedup")
-        deduped = deduped.observe(obs_exact, F.count(F.lit(1)).alias("n"))
+        #
+        # MATERIALIZE the exact-deduped corpus first: the prune reads
+        # it three times (candidate gen, Jaccard verify, final keep
+        # join) and the CC loop runs several actions — without a
+        # boundary every one re-executes extraction + gates from the
+        # source. The snapshot count doubles as the stage counter
+        # (an Observation threaded through a self-referencing
+        # downstream is plan-shape fragile: the CollectMetrics node
+        # duplicates across branches and `.get` asserts). On a
+        # cluster use reliable checkpoint()/an intermediate table.
+        deduped = deduped.localCheckpoint(eager=True)
+        after_exact_count = deduped.count()
         # cc_workdir (object storage at the lake) makes the iterative
         # CC stage resumable: a failure mid-prune costs one star round
         deduped = drop_near_dups(deduped, id_col="url", text_col="text", cc_workdir=cc_workdir)
     else:
-        obs_exact = None
+        after_exact_count = None
     keep = deduped.select(
         "url", "text", "n_lines", "n_chars", "n_tokens", "stop_ratio",
         "lexical_diversity", "dup_bigram_frac", "consec_dup_frac", "content_fp"
@@ -86,10 +121,10 @@ def prepare_corpus(
     keep.write.mode("overwrite").parquet(out_dir)
 
     counters = {
-        "pages_in": obs_in.get["n"],
+        "pages_in": pages_in_count if pages_in_count is not None else obs_in.get["n"],
         "corpus_out": obs_out.get["n"],
         "out_dir": out_dir,
     }
-    if obs_exact is not None:
-        counters["after_exact_dedup"] = obs_exact.get["n"]
+    if after_exact_count is not None:
+        counters["after_exact_dedup"] = after_exact_count
     return counters

@@ -2706,6 +2706,11 @@ def corpus_prep_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         "dup_bigram_frac",
     )
+    # materialize before the prune: it reads this frame three times
+    # (candidate gen / Jaccard verify / final keep join) and every CC
+    # action would otherwise re-run the extraction UDF from source —
+    # measured 54.6 s → boundary cuts the repeated Arrow passes
+    deduped = deduped.localCheckpoint(eager=True)
     kept = drop_near_dups(deduped, id_col="doc_id", text_col="text")
     return kept.select(
         "doc_id",

@@ -440,3 +440,20 @@ def test_with_compress_ratio(spark):
         assert rows[i]["text"] == t  # passthrough columns intact
     # the repetitive doc compresses best
     assert rows[0]["compress_ratio"] < rows[1]["compress_ratio"] < rows[2]["compress_ratio"]
+
+
+def test_train_bpe_on_corpus_deterministic(spark, sf_dir):
+    """Corpus-trained BPE: hash-threshold sample is partitioning-
+    invariant, merges are usable and lossless on corpus text."""
+    from gluon_ocr_spark.kernels import bpe
+    from gluon_ocr_spark.operators.textstats import train_bpe_on_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m1 = train_bpe_on_corpus(docs, n_merges=120)
+    m2 = train_bpe_on_corpus(docs.repartition(13), n_merges=120)
+    assert m1 == m2 and len(m1) > 40
+    ranks = bpe.build_ranks(m1)
+    for r in docs.select("text").limit(5).collect():
+        assert bpe.decode(bpe.encode(r["text"], ranks)) == r["text"]
+    # corpus vocabulary differs from the seeded default table
+    assert tuple(m1) != bpe.default_merges()

@@ -112,3 +112,38 @@ def test_prepare_corpus_near_dedup_resumable_cc(spark, tmp_path):
     assert stats["corpus_out"] == 2
     # durable round snapshots exist (round=0000 at minimum)
     assert os.path.exists(os.path.join(ccdir, "round=0000", "_SUCCESS"))
+
+
+def test_prepare_corpus_remove_spans(spark, tmp_path):
+    """remove_spans=True strips cross-doc duplicated runs (the
+    boilerplate riding INSIDE otherwise-unique pages) before the
+    gates judge the cleaned text."""
+    from gluon_ocr_spark.sources.pages import wrap_text_as_page
+
+    boiler = (
+        "subscribe to our newsletter for all the latest updates and "
+        "exclusive offers delivered straight to your inbox today"
+    )
+    body_a = (
+        "unique article about glaciers carving deep valleys through "
+        "ancient mountain ranges over countless millennia of slow ice"
+    )
+    body_b = (
+        "completely different report covering harvest yields across "
+        "southern provinces after an unusually wet spring season there"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("page://a", bytearray(wrap_text_as_page(0, body_a + " " + boiler))),
+            ("page://b", bytearray(wrap_text_as_page(1, boiler + " " + body_b))),
+        ],
+        "url string, html binary",
+    )
+    out = str(tmp_path / "spanclean")
+    stats = prepare_corpus(spark, pages, out, num_partitions=2, remove_spans=True)
+    rows = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert stats["corpus_out"] == 2
+    assert "subscribe" not in rows["page://a"] and "inbox" not in rows["page://a"]
+    assert rows["page://a"].startswith("unique article about glaciers")
+    assert "subscribe" not in rows["page://b"]
+    assert rows["page://b"].endswith("wet spring season there")
