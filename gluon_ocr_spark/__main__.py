@@ -44,6 +44,13 @@ def main() -> None:
         help="with --prep-corpus: stop at exact dedup (skip the "
         "minhash→Jaccard→connected-components prune)",
     )
+    ap.add_argument(
+        "--remove-spans",
+        action="store_true",
+        help="with --prep-corpus: also strip cross-document duplicated "
+        "token runs (span-level exact-substring dedup) before the "
+        "quality gates",
+    )
     args = ap.parse_args()
 
     from .plans.lineage import ExtractionJob
@@ -68,6 +75,7 @@ def main() -> None:
                 args.out,
                 num_partitions=n_parts,
                 near_dedup=not args.no_near_dedup,
+                remove_spans=args.remove_spans,
             )
         else:
             job = ExtractionJob(args.out, num_partitions=n_parts)
