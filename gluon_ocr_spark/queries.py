@@ -1655,6 +1655,41 @@ def sql_q22_idle_customers(d: str) -> str:
     """
 
 
+def sql_q6_forecast_revenue(d: str) -> str:
+    """Q6 shape: pure scan + multi-predicate filter + single global
+    aggregate — the predicate-pushdown showcase (every filter lands
+    in PushedFilters; zero joins, zero group keys, one partial+final
+    agg). Money math in exact 10^-4-dollar units."""
+    rev = _rev2(
+        "sum(cast(round(l_extendedprice * 100) as bigint) * cast(round(l_discount * 100) as bigint))",
+        d,
+    )
+    return f"""
+    SELECT {rev} AS revenue, count(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= timestamp '1996-01-01 00:00:00'
+      AND l_shipdate <  timestamp '1997-01-01 00:00:00'
+      AND l_discount >= 0.02 AND l_discount <= 0.09
+      AND l_quantity < 24
+    """
+
+
+def sql_q14_promo_share(d: str) -> str:
+    """Q14 shape: fact→part join feeding a conditional revenue share
+    — the percentage is ONE double division of two exact integer
+    sums, rounded once (engine-order-proof)."""
+    vol = "cast(round(l_extendedprice * 100) as bigint) * (100 - cast(round(l_discount * 100) as bigint))"
+    return f"""
+    SELECT round(100.0 * cast(sum(CASE WHEN p_type = 'PROMO' THEN {vol} ELSE 0 END) AS double)
+                 / sum({vol}), 6) AS promo_share,
+           count(*) AS n_lines
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= timestamp '1997-01-01 00:00:00'
+      AND l_shipdate <  timestamp '1997-07-01 00:00:00'
+    """
+
+
 def sql_q2_top_supplier_balance(d: str) -> str:
     """Q2 shape: CORRELATED scalar subquery — per-nation max account
     balance drives the outer row filter. Catalyst rewrites the
@@ -2424,6 +2459,8 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "q18_large_orders": sql_q18_large_orders,
     "q22_idle_customers": sql_q22_idle_customers,
     "q2_top_supplier_balance": sql_q2_top_supplier_balance,
+    "q6_forecast_revenue": sql_q6_forecast_revenue,
+    "q14_promo_share": sql_q14_promo_share,
     "cube_order_mix": sql_cube_order_mix,
     "text_bm25": sql_text_bm25,
     "text_tfidf_terms": sql_text_tfidf_terms,
