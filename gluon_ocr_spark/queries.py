@@ -837,7 +837,11 @@ def sql_dedup_exact(d: str) -> str:
 
 
 def sql_dedup_token_jaccard(d: str) -> str:
-    """Near-dup pairs by token-set Jaccard within a language block.
+    """Near-dup pairs by token-set Jaccard within a language block —
+    the EXACTNESS BASELINE, deliberately O(n²)-per-block: it is the
+    ground truth dedup_lsh_recall measures the probabilistic pipeline
+    against (recall 0.95 at the 16-sig/4-band point), never the path
+    run at scale.
 
     Blocking on lang bounds the candidate set (at 100TB the block key
     would also include a length bucket / LSH band; see minhash below
