@@ -180,21 +180,30 @@ def remove_dup_spans(
     seeds; runs < k survive — the documented recall bound.
 
     Shape: position-carrying k-gram hashes (single scan, inline
-    expression), df on the hash (count DISTINCT doc), covered-index
-    explode, anti-join on token positions, ordered rebuild via
-    sorted-struct aggregation (collect_list alone is partition-order
-    nondeterministic). Two shuffles; the k-gram projection is the
-    shingle table the minhash family already materializes at scale.
+    expression), df on the hash (count DISTINCT doc), gaps-and-
+    islands interval merge of the covered [s, s+k) seed ranges
+    (windowed PARTITION BY doc — adjacent covers collapse BEFORE the
+    per-token explode), anti-join on token positions, ordered rebuild
+    via sorted-struct aggregation (collect_list alone is
+    partition-order nondeterministic). Two shuffles; the k-gram
+    projection is the shingle table the minhash family already
+    materializes at scale.
+
+    Case handling (ADVICE r4): duplicate DETECTION hashes the
+    lowercased k-gram (matching sql_text_dedup_spans' recall), but
+    the rebuild keeps the ORIGINAL-case tokens, and docs with zero
+    covered spans are never rewritten — their text stays
+    byte-identical to the input.
     """
-    from pyspark.sql import functions as F
+    from pyspark.sql import Window, functions as F
 
     from ..functions import portable as pt
     from ..functions.portable import SPARK
 
-    hexpr = pt.hex15("concat_ws(' ', slice(w, i, %d))" % k, SPARK)
+    hexpr = pt.hex15("lower(concat_ws(' ', slice(w, i, %d)))" % k, SPARK)
     toks = df.select(
         F.col(id_col).alias("__id"),
-        F.expr(pt.tokens(text_col, SPARK)).alias("w"),
+        F.expr(f"split({text_col}, ' ')").alias("w"),
     )
     grams = toks.select(
         "__id",
@@ -211,23 +220,41 @@ def remove_dup_spans(
         .where(F.col("ndocs") > 1)
         .select("gh")
     )
-    covered = (
+    wlag = Window.partitionBy("__id").orderBy("s")
+    wgrp = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranges = (
         grams.join(dup, "gh")
-        .select("__id", F.explode(F.expr(f"sequence(s, s + {k - 1})")).alias("idx"))
-        .distinct()
+        .select("__id", "s")
+        .withColumn(
+            "newgrp",
+            F.when(F.col("s") - F.lag("s").over(wlag) <= k, 0).otherwise(1),
+        )
+        .withColumn("grp", F.sum("newgrp").over(wgrp))
+        .groupBy("__id", "grp")
+        .agg(F.min("s").alias("rs"), (F.max("s") + (k - 1)).alias("re"))
     )
-    tokpos = toks.select(
-        "__id", F.posexplode("w").alias("idx0", "tok")
-    ).select("__id", (F.col("idx0") + 1).alias("idx"), "tok")
+    covered = ranges.select(
+        "__id", F.explode(F.expr("sequence(rs, re)")).alias("idx")
+    )
+    touched = covered.select("__id").distinct()
+    tokpos = (
+        toks.join(touched, "__id")
+        .select("__id", F.posexplode("w").alias("idx0", "tok"))
+        .select("__id", (F.col("idx0") + 1).alias("idx"), "tok")
+    )
     kept = tokpos.join(covered, ["__id", "idx"], "left_anti")
-    rebuilt = kept.groupBy("__id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok), ' ')"
-        ).alias("__cleaned")
-    )
+    rebuilt = touched.join(
+        kept.groupBy("__id").agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok), ' ')"
+            ).alias("__kept_text")
+        ),
+        "__id",
+        "left",
+    ).select("__id", F.coalesce("__kept_text", F.lit("")).alias("__cleaned"))
     return (
         df.join(rebuilt, F.col(id_col) == F.col("__id"), "left")
-        .withColumn(text_col, F.coalesce("__cleaned", F.lit("")))
+        .withColumn(text_col, F.coalesce("__cleaned", F.col(text_col)))
         .drop("__id", "__cleaned")
     )
 

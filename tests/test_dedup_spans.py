@@ -54,3 +54,35 @@ def test_within_doc_repetition_alone_not_removed():
     t = f"{run} x y z {run}"
     out = _run([(1, t), (2, "unrelated content entirely different words")])
     assert out[1][1] == len(t.split())
+
+
+class TestRemoveDupSpansOperator:
+    """The production transform (operators.textstats.remove_dup_spans)
+    — ADVICE r4: detection is case-insensitive (lowercased k-gram
+    hash, same recall as the SQL template) but the rebuild keeps
+    ORIGINAL case, and docs with no covered span are returned
+    byte-identical, not rewritten."""
+
+    def _run(self, spark, docs):
+        from gluon_ocr_spark.operators.textstats import remove_dup_spans
+
+        df = spark.createDataFrame(docs, "doc_id bigint, text string")
+        return {r["doc_id"]: r["text"] for r in remove_dup_spans(df).collect()}
+
+    def test_case_preserved_and_untouched_docs_byte_identical(self, spark):
+        boiler = "Subscribe To Our Newsletter For The Latest Updates And Offers"
+        a = "Unique Alpha CONTENT one two three " + boiler
+        b = boiler.lower() + " totally different tail about Rivers and Lakes"
+        c = "Standalone Document with Nothing Shared At All Here OK"
+        out = self._run(spark, [(1, a), (2, b), (3, c)])
+        # detection matched across case; rebuild keeps each doc's case
+        assert out[1] == "Unique Alpha CONTENT one two three"
+        assert out[2] == "totally different tail about Rivers and Lakes"
+        # untouched doc is byte-identical (NOT lowercased, NOT rebuilt)
+        assert out[3] == c
+
+    def test_whole_doc_duplicate_empties_both(self, spark):
+        t = "This Entire Document Body Is Duplicated Verbatim Elsewhere OK"
+        out = self._run(spark, [(1, t), (2, t.lower()), (3, "something else entirely unrelated")])
+        assert out[1] == "" and out[2] == ""
+        assert out[3] == "something else entirely unrelated"
