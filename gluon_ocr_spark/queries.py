@@ -3371,6 +3371,89 @@ def corpus_pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _pack_sequences_frame(spark, counts)
 
 
+def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, lang, n_tokens) with REAL corpus-trained BPE counts:
+    merges trained once on the driver over a deterministic
+    hash-threshold sample (train_bpe_on_corpus), broadcast to
+    executors (S10 weights pattern), applied in an Arrow-batched
+    mapInPandas over a pruned projection — map-only, zero shuffle.
+    This is the budgeting currency a real pretraining pipeline uses;
+    the regex pre-token count (text_bpe_tokens) UNDER-approximates it
+    (one regex hit may be several BPE tokens)."""
+    import pandas as pd
+
+    from .kernels.bpe import build_ranks, build_vocab, encode_ids
+    from .operators.textstats import train_bpe_on_corpus
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    merges = train_bpe_on_corpus(docs, n_merges=50)
+    bc = spark.sparkContext.broadcast(merges)
+
+    def gen(batches):
+        ranks = build_ranks(bc.value)
+        vocab = build_vocab(bc.value)
+        for b in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": b["doc_id"],
+                    "lang": b["lang"],
+                    "n_tokens": [len(encode_ids(t, ranks, vocab)) for t in b["text"]],
+                }
+            )
+
+    return docs.select("doc_id", "lang", "text").mapInPandas(
+        gen, schema="doc_id bigint, lang string, n_tokens bigint"
+    )
+
+
+def corpus_pack_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_pack_sequences fed by REAL BPE token counts (VERDICT r4
+    item 5): same two-phase distributed prefix-sum manifest
+    (:func:`_pack_sequences_frame`, no SinglePartition window), but
+    the per-doc token count is the corpus-trained broadcast-merges
+    BPE count instead of the regex pre-token approximation. The merge
+    loop is not SQL-expressible, so this entry takes the driver's
+    rows-only check (exactness of the counts themselves is gated by
+    the kernel_bpe fixture family; the packing math is gated exact by
+    corpus_pack_sequences)."""
+    counts = _bpe_doc_counts(spark, sf_dir).select("doc_id", "n_tokens")
+    return _pack_sequences_frame(spark, counts)
+
+
+def corpus_mix_bpe_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus_mix_allocation fed by REAL BPE token counts: identical
+    largest-remainder budget math (sums to the budget bit-for-bit),
+    with per-language totals aggregated from the broadcast-merges
+    mapInPandas count. Rows-only at the gate (BPE not
+    SQL-expressible); the allocation arithmetic itself is gated exact
+    by corpus_mix_allocation."""
+    budget = 1_000_000
+    counts = _bpe_doc_counts(spark, sf_dir)
+    counts.createOrReplaceTempView("bpe_counts")
+    return spark.sql(f"""
+    WITH lt AS (
+        SELECT lang, CAST(sum(n_tokens) AS BIGINT) AS lang_tokens
+        FROM bpe_counts GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(lang_tokens) AS BIGINT) AS total FROM lt),
+    base AS (
+        SELECT lang, lang_tokens,
+               ({budget} * lang_tokens) div total AS floor_alloc,
+               ({budget} * lang_tokens) % total AS remainder,
+               {budget} - CAST(sum(({budget} * lang_tokens) div total)
+                   OVER () AS BIGINT) AS leftover
+        FROM lt CROSS JOIN tot
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (ORDER BY remainder DESC, lang) AS rk
+        FROM base
+    )
+    SELECT lang, lang_tokens, floor_alloc,
+           floor_alloc + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS alloc_tokens
+    FROM ranked
+    """)
+
+
 def _web_query_persisted(tmpl) -> Callable[[SparkSession, str], DataFrame]:
     """Spark-side twin of a web_* SQL template with the raw-URL
     synthesis PERSISTED before the parse (VERDICT r3: the collapsed
@@ -3423,6 +3506,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_pq_topk"] = ann_pq_topk_query
     out["text_tfidf_terms"] = text_tfidf_terms_query
     out["corpus_pack_sequences"] = corpus_pack_sequences_query
+    # rows-only entries (BPE merge loop is not SQL-expressible)
+    out["corpus_pack_bpe"] = corpus_pack_bpe_query
+    out["corpus_mix_bpe"] = corpus_mix_bpe_query
     # codegen-split overrides (persisted raw URL projection; see
     # _web_query_persisted) — same rows as the SQL templates
     out["web_url_canonical"] = _web_query_persisted(sql_web_url_canonical)
@@ -3435,7 +3521,47 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .operators.kernel_queries import kernel_queries
 
     out.update(kernel_queries())
-    return out
+    # Enumerate never-driver-recorded entries FIRST: the external
+    # correctness gate samples ~50 queries per round head-first, and
+    # across rounds 1-4 its union covered 80 of the (then) 118 — the
+    # entries below the cap rested on local judge runs only. Putting
+    # the never-sampled names at the head gets them driver rows
+    # without changing any query's semantics (VERDICT r4 item 4).
+    head = {k: v for k, v in out.items() if k not in _DRIVER_RECORDED_R1_R4}
+    head.update({k: v for k, v in out.items() if k in _DRIVER_RECORDED_R1_R4})
+    return head
+
+
+#: Query names with at least one gate row in CORRECTNESS_r01-r04.json
+#: (union computed from the committed receipts, 2026-08-17).
+_DRIVER_RECORDED_R1_R4 = frozenset({
+    "ann_filtered_topk", "ann_ivf_nprobe2", "ann_ivf_topk",
+    "ann_lsh_buckets", "ann_lsh_topk", "ann_topk",
+    "corpus_decontaminate", "corpus_sample_stratified", "cube_order_mix",
+    "dedup_embedding_cosine", "dedup_exact", "dedup_minhash_bands",
+    "dedup_minhash_pairs", "dedup_shingle_minhash", "dedup_simhash",
+    "dedup_simhash_hamming", "dedup_token_jaccard", "emb_label_centroids",
+    "events_asof_signup", "events_funnel", "events_hourly",
+    "events_pivot_types", "events_quantiles", "events_retention",
+    "events_session_window_native", "events_sessionize", "events_unpivot",
+    "events_user_daily", "extract_lines", "extract_roundtrip",
+    "extract_stats", "kernel_attention_decode", "kernel_crnn_ctc",
+    "kernel_ctc_decode", "kernel_dbnet_boxes", "kernel_det_metrics",
+    "kernel_east_boxes", "kernel_labelgen", "kernel_nms",
+    "kernel_recog_metrics", "kernel_resize_plan", "kernel_soft_nms",
+    "multimodal_meta", "q10_returned_items", "q13_customer_distribution",
+    "q14_promo_share", "q18_large_orders", "q1_pricing_summary",
+    "q22_idle_customers", "q2_top_supplier_balance", "q3_shipping_priority",
+    "q4_order_priority", "q5_region_revenue", "q6_forecast_revenue",
+    "q7_nation_volume", "q8_market_share", "q9_product_profit",
+    "recog_bucket_keys", "rollup_returns", "set_ops_users",
+    "sketch_cms_tokens", "sketch_kmv_distinct", "supplier_part_volume",
+    "text_bigram_rarity", "text_bpe_tokens", "text_dup_ngrams",
+    "text_fingerprint", "text_lang_id", "text_pii_scrub", "text_quality",
+    "text_repetition", "text_stats", "text_winnow", "text_winnow_pairs",
+    "top_customers_window", "web_domain_stats", "web_pagerank",
+    "web_robots_filter", "web_url_canonical", "web_url_dedup",
+})
 
 
 def oracle_sql() -> dict[str, str]:
