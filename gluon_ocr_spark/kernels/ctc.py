@@ -93,7 +93,11 @@ def text2ids(
     and an out-of-vocabulary char leaves a PAD HOLE at its position
     with mask 0 — the position is still consumed (the reference's
     ``continue`` after the membership test). Chars beyond text_len
-    are ignored the same way the fixed-shape NDArray would clip."""
+    are ignored by this port's ``break``; the reference never reaches
+    that path (recog_dataset.py pre-filters labels to
+    ``max_len - add_symbol``, and its NDArray indexing would raise
+    IndexError if it did), so the clip is this port's own choice, not
+    reference parity."""
     ids = [pad_sym] * text_len
     mask = [0] * text_len
     chars = list(text)

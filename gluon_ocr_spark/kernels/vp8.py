@@ -546,6 +546,8 @@ def encode_frame(y: np.ndarray, u: np.ndarray | None = None, v: np.ndarray | Non
                  q_index: int = 8) -> bytes:
     """Encode planes (uint8 2-D arrays; u/v at half resolution or
     None for luma-only) into a vp8i key-frame byte stream."""
+    if not 0 <= q_index <= 127:
+        raise ValueError(f"q_index must be 0..127 (7-bit header field), got {q_index}")
     y = np.asarray(y, dtype=np.int64)
     h, w = y.shape
     if u is None:
@@ -580,6 +582,13 @@ def encode_frame(y: np.ndarray, u: np.ndarray | None = None, v: np.ndarray | Non
     _code_plane(enc, vp.shape[0], vp.shape[1], 8, dc_q, ac_q, False, pick_mode,
                 lambda by, bx: vp[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8])
     part = enc.finish()
+    if len(part) >= 1 << 19:
+        # the frame tag's partition-size field is 19 bits; a larger
+        # first partition would silently truncate into a stream that
+        # decode_frame mis-parses (ADVICE r4)
+        raise ValueError(
+            f"first partition {len(part)} bytes exceeds the 19-bit frame-tag field"
+        )
 
     # frame tag: keyframe (bit0=0), version 0, show_frame, part size
     tag = 0 | (0 << 1) | (1 << 4) | (len(part) << 5)

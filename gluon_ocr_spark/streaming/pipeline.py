@@ -283,6 +283,19 @@ def near_dedup_stream(
     finalizes when the watermark passes its window (late-colliding
     docs inside the horizon were already blocked by bucket state).
 
+    Tie behavior (ADVICE r4): ``dropDuplicatesWithinWatermark`` keeps
+    whichever same-bucket row the engine processes first WITHIN one
+    micro-batch, while the batch oracle
+    (:func:`near_dedup_first_owner_batch`) breaks ties
+    deterministically by (ts, id) — so two EQUAL-timestamp colliding
+    docs arriving in the same trigger can diverge from the oracle
+    (either one is a valid "first owner"; the kept-set SIZE and the
+    transitive-kill semantics are unaffected). Across triggers the
+    earlier arrival always wins, matching the oracle. Feed
+    distinct-timestamp sources (or one-file triggers, as the restart
+    tests do) when bit-stable agreement with the batch oracle
+    matters.
+
     Returns (window_start, id, n_bands) rows for kept docs."""
     from ..functions import portable as pt
     from ..functions.portable import SPARK
