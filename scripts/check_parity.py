@@ -59,8 +59,14 @@ def main():
     from gluon_ocr_spark.session import make_session
     from gluon_ocr_spark.queries import TABLES
 
-    args = [a for a in sys.argv[1:] if a != "--vanilla"]
-    vanilla = "--vanilla" in sys.argv[1:]
+    argv = sys.argv[1:]
+    json_path = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_path = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    args = [a for a in argv if a != "--vanilla"]
+    vanilla = "--vanilla" in argv
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -79,6 +85,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    receipt = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -88,9 +95,11 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
+            receipt[name] = {"status": "spark_error", "err": str(e)[:200]}
             print(f"FAIL {name}: spark error: {e}")
             continue
         if name not in oracles:
+            receipt[name] = {"status": "rows_only", "rows": len(srows)}
             print(f"ok   {name}: rows-only ({len(srows)} rows)")
             continue
         try:
@@ -102,26 +111,37 @@ def main():
             drows = [tuple(row[c] for c in dcols) for row in tbl.to_pylist()]
         except Exception as e:
             failures.append(name)
+            receipt[name] = {"status": "duckdb_error", "err": str(e)[:200]}
             print(f"FAIL {name}: duckdb error: {e}")
             continue
         if sorted(c.lower() for c in scols) != sorted(c.lower() for c in dcols):
             failures.append(name)
+            receipt[name] = {"status": "schema_mismatch", "spark": scols, "duck": dcols}
             print(f"FAIL {name}: columns spark={scols} duck={dcols}")
             continue
         if len(srows) != len(drows):
             failures.append(name)
+            receipt[name] = {"status": "rowcount_mismatch", "spark": len(srows), "duck": len(drows)}
             print(f"FAIL {name}: rowcount spark={len(srows)} duck={len(drows)}")
             continue
         sk = rows_key(srows, [c.lower() for c in scols])
         dk = rows_key(drows, [c.lower() for c in dcols])
         if sk != dk:
             failures.append(name)
+            receipt[name] = {"status": "value_mismatch", "rows": len(srows)}
             diffs = [(a, b) for a, b in zip(sk, dk) if a != b][:3]
             print(f"FAIL {name}: value mismatch; first diffs: {diffs}")
             continue
+        receipt[name] = {"status": "exact", "rows": len(srows)}
         print(f"ok   {name}: {len(srows)} rows, exact match")
 
     print("\n==", "ALL OK" if not failures else f"FAILURES: {failures}")
+    if json_path:
+        import json
+
+        with open(json_path, "w") as f:
+            json.dump({"sf_dir": sf_dir, "n": len(receipt), "results": receipt}, f, indent=1, sort_keys=True)
+        print(f"receipt -> {json_path}")
     spark.stop()
     return 1 if failures else 0
 
