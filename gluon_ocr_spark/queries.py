@@ -741,6 +741,40 @@ def sql_corpus_mix_allocation(d: str) -> str:
     """
 
 
+def sql_corpus_shuffle_shards(d: str) -> str:
+    """Deterministic GLOBAL SHUFFLE + shard manifest — the data-order
+    randomization every pretraining run performs before packing:
+    each doc gets a seeded pseudo-random rank (portable md5-derived —
+    engine-native hash() functions differ across engines), lands in
+    ``rank % 16`` shards, and receives its position and running token
+    offset WITHIN its shard. Reproducible across runs/partitionings
+    (rank is a pure function of doc_id + seed literal), which is what
+    makes a training run resumable mid-epoch.
+
+    Scale shape: the windows are PARTITION BY shard_id — parallel
+    over shards, no global exchange; at the lake shard count is set
+    so docs-per-shard fits one task (e.g. 64k shards for 10^12 docs),
+    and the per-shard cumsum can reuse the same two-phase prefix-sum
+    pattern as corpus_pack_sequences if shards must be huge."""
+    toks = pt.tokens("text", d)
+    n = pt.arr_size(toks, d)
+    rank = pt.hex15("concat('shuf42:', cast(doc_id AS string))", d)
+    return f"""
+    WITH r AS (
+        SELECT doc_id, CAST({n} AS BIGINT) AS n_tokens,
+               {rank} % {pt.P} AS rk
+        FROM documents
+    )
+    SELECT doc_id, n_tokens, rk % 16 AS shard_id,
+           row_number() OVER (PARTITION BY rk % 16 ORDER BY rk, doc_id)
+               AS pos_in_shard,
+           CAST(sum(n_tokens) OVER (PARTITION BY rk % 16 ORDER BY rk, doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS BIGINT) AS shard_tok_off
+    FROM r
+    """
+
+
 def sql_text_dedup_spans(d: str, gpos_source: str | None = None) -> str:
     """SPAN-level exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"; the SlimPajama /
@@ -2513,6 +2547,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_lsh_recall": sql_dedup_lsh_recall,
     "text_inverted_postings": sql_text_inverted_postings,
     "corpus_mix_allocation": sql_corpus_mix_allocation,
+    "corpus_shuffle_shards": sql_corpus_shuffle_shards,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,
