@@ -775,6 +775,118 @@ def sql_corpus_shuffle_shards(d: str) -> str:
     """
 
 
+def sql_text_dup_run_lengths(d: str) -> str:
+    """Multi-resolution duplicated-RUN detection via binary lifting —
+    the step from K-gram seeding toward Lee et al.'s arbitrary-length
+    suffix-array matches, done relationally: level-L fingerprints are
+    built from level-L/2 fingerprints (h_2L(i) = H(h_L(i), h_L(i+L)),
+    the sparse-table doubling trick), so a doc's 8/16/32/64/128-token
+    windows all fingerprint in ONE array pipeline per doc — no
+    re-tokenization per level, no joins to build levels. Each level's
+    fingerprints then get a cross-doc df, and a window is a duplicated
+    RUN iff its fingerprint occurs in >1 doc.
+
+    Per doc: ``max_dup_run_pow2`` = largest L with a duplicated
+    L-window (a shared run of EXACTLY that contiguous extent exists;
+    the true maximal shared run is in [L, 2L) — two overlapping
+    duplicated halves from DIFFERENT partner docs do not compose, so
+    pow2 levels are the sound pair-free resolution), plus the
+    duplicated-seed count at the base level. Same md5-derived
+    fingerprints as the rest of the dedup family (engine-portable;
+    collision probability ~2^-60 per pair, the family-wide caveat).
+
+    Scale shape: one corpus scan builds all levels (array exprs,
+    whole-stage codegen), one explode (~5 rows per token position at
+    the level fan-out), one df shuffle on (lvl, h), one broadcast-back
+    join — the same materialized-shingle pattern as minhash/spans."""
+    toks = pt.tokens("text", d)
+    k = 8
+    levels = [8, 16, 32, 64, 128]
+    if d == SPARK:
+        gram = f"concat_ws(' ', slice(w, i, {k}))"
+        base = (
+            f"CASE WHEN size(w) >= {k} THEN transform(sequence(1, size(w) - {k - 1}), "
+            f"i -> {pt.hex15(gram, d)} % {pt.P}) ELSE array() END"
+        )
+
+        def lift(prev: str, half: int) -> str:
+            comb = (
+                f"concat(cast(element_at({prev}, i) AS string), ':', "
+                f"cast(element_at({prev}, i + {half}) AS string))"
+            )
+            return (
+                f"CASE WHEN size({prev}) > {half} THEN "
+                f"transform(sequence(1, size({prev}) - {half}), "
+                f"i -> {pt.hex15(comb, d)} % {pt.P}) ELSE array() END"
+            )
+
+        def tag(arr: str, lvl: int) -> str:
+            return f"transform({arr}, x -> struct({lvl} AS lvl, x AS h))"
+
+        all_arr = "concat(" + ", ".join(tag(f"a{lv}", lv) for lv in levels) + ")"
+        explode_body = (
+            f"SELECT doc_id, es.lvl AS lvl, es.h AS h "
+            f"FROM lv LATERAL VIEW explode({all_arr}) ev AS es"
+        )
+    else:
+        gram = f"list_aggregate(list_slice(w, i, i + {k - 1}), 'string_agg', ' ')"
+        base = (
+            f"CASE WHEN len(w) >= {k} THEN list_transform(generate_series(1, len(w) - {k - 1}), "
+            f"i -> {pt.hex15(gram, d)} % {pt.P}) ELSE [] END"
+        )
+
+        def lift(prev: str, half: int) -> str:
+            comb = (
+                f"concat(cast({prev}[i] AS string), ':', "
+                f"cast({prev}[i + {half}] AS string))"
+            )
+            return (
+                f"CASE WHEN len({prev}) > {half} THEN "
+                f"list_transform(generate_series(1, len({prev}) - {half}), "
+                f"i -> {pt.hex15(comb, d)} % {pt.P}) ELSE [] END"
+            )
+
+        def tag(arr: str, lvl: int) -> str:
+            return f"list_transform({arr}, x -> {{'lvl': {lvl}, 'h': x}})"
+
+        all_arr = "(" + " || ".join(tag(f"a{lv}", lv) for lv in levels) + ")"
+        explode_body = (
+            "SELECT doc_id, u.lvl AS lvl, u.h AS h "
+            f"FROM (SELECT doc_id, unnest({all_arr}) AS u FROM lv) xx"
+        )
+    level_ctes = [f"l8 AS (SELECT doc_id, {base} AS a8 FROM t)"]
+    for prev, lv in zip(levels, levels[1:]):
+        level_ctes.append(
+            f"l{lv} AS (SELECT *, {lift(f'a{prev}', prev)} AS a{lv} FROM l{prev})"
+        )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    {", ".join(level_ctes)},
+    lv AS (SELECT * FROM l{levels[-1]}),
+    gr AS ({explode_body}),
+    df AS (
+        SELECT lvl, h, count(DISTINCT doc_id) AS nd
+        FROM gr GROUP BY lvl, h
+    ),
+    marked AS (
+        SELECT gr.doc_id, gr.lvl
+        FROM gr JOIN df ON gr.lvl = df.lvl AND gr.h = df.h
+        WHERE df.nd > 1
+    ),
+    agg AS (
+        SELECT doc_id,
+               CAST(max(lvl) AS BIGINT) AS max_dup_run_pow2,
+               CAST(sum(CASE WHEN lvl = {k} THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_seeds
+        FROM marked GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           coalesce(a.max_dup_run_pow2, 0) AS max_dup_run_pow2,
+           coalesce(a.n_dup_seeds, 0) AS n_dup_seeds
+    FROM t LEFT JOIN agg a ON a.doc_id = t.doc_id
+    """
+
+
 def sql_text_dedup_spans(d: str, gpos_source: str | None = None) -> str:
     """SPAN-level exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"; the SlimPajama /
@@ -2548,6 +2660,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_inverted_postings": sql_text_inverted_postings,
     "corpus_mix_allocation": sql_corpus_mix_allocation,
     "corpus_shuffle_shards": sql_corpus_shuffle_shards,
+    "text_dup_run_lengths": sql_text_dup_run_lengths,
     "q5_region_revenue": sql_q5_region_revenue,
     "top_customers_window": sql_top_customers_window,
     "supplier_part_volume": sql_supplier_part_volume,

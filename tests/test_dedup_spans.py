@@ -86,3 +86,50 @@ class TestRemoveDupSpansOperator:
         out = self._run(spark, [(1, t), (2, t.lower()), (3, "something else entirely unrelated")])
         assert out[1] == "" and out[2] == ""
         assert out[3] == "something else entirely unrelated"
+
+
+class TestDupRunLengths:
+    """Binary-lifting duplicated-run detection: max_dup_run_pow2 is
+    the largest power-of-two window length (8..128) shared verbatim
+    with another doc."""
+
+    def _run(self, docs):
+        import duckdb
+
+        from gluon_ocr_spark.queries import sql_text_dup_run_lengths
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", docs)
+        return {
+            r[0]: (r[1], r[2])
+            for r in con.execute(sql_text_dup_run_lengths("duck")).fetchall()
+        }
+
+    def test_pow2_bracket(self):
+        shared20 = " ".join(f"s{i}" for i in range(20))
+        a = "alpha beta gamma " + shared20 + " tail one two"
+        b = shared20 + " completely different ending here now"
+        out = self._run([(1, a), (2, b)])
+        # a 20-token shared run contains 16-windows but no 32-window
+        assert out[1][0] == 16 and out[2][0] == 16
+        # duplicated 8-seeds: 20-token run has 13 8-gram starts
+        assert out[1][1] == 13 and out[2][1] == 13
+
+    def test_short_share_below_k_invisible(self):
+        shared7 = "one two three four five six seven"
+        a = f"prefix tokens here making length {shared7}"
+        b = f"{shared7} other suffix tokens entirely different again"
+        out = self._run([(1, a), (2, b)])
+        assert out[1] == (0, 0) and out[2] == (0, 0)
+
+    def test_identical_long_docs_reach_top_level(self):
+        t = " ".join(f"w{i}" for i in range(130))
+        out = self._run([(1, t), (2, t)])
+        assert out[1][0] == 128 and out[2][0] == 128
+
+    def test_within_doc_repeat_not_cross_doc(self):
+        run = " ".join(f"r{i}" for i in range(10))
+        t = f"{run} middle filler words {run}"
+        out = self._run([(1, t), (2, "nothing in common at all here")])
+        assert out[1] == (0, 0)
