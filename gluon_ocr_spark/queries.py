@@ -3583,6 +3583,87 @@ def text_dedup_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def dedup_token_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator override of sql_dedup_token_jaccard: EXACT set-
+    similarity join via PREFIX FILTERING (Bayardo et al. "Scaling Up
+    All Pairs Similarity Search" / PPJoin) instead of the template's
+    O(n²)-per-block self-join — same pair set, proven by the
+    unchanged brute-force DuckDB oracle.
+
+    Theorem used: order every doc's distinct tokens by a GLOBAL total
+    order (document frequency ascending, token as tie-break — rarest
+    first). If J(A,B) ≥ t then |A∩B| ≥ ⌈t·|A|⌉, so the smallest
+    shared token must lie within the first |A| - ⌈t·|A|⌉ + 1 tokens
+    of A — and symmetrically of B. Equi-joining only those ~(1-t)
+    prefixes on (lang, token) therefore finds EVERY qualifying pair;
+    an exact verify on the candidates removes false positives.
+    Candidate blow-up is bounded because prefix tokens are by
+    construction the RAREST — the join key distribution is the
+    anti-skew tail. Plus the length filter 5·na ≥ 4·nb (J ≥ 0.8 ⟹
+    |A| ≥ 0.8·|B|).
+
+    Scale shape: one explode shuffle for df (the shared token-stats
+    projection), one per-doc rank window, a rare-key equi-join, and a
+    candidate-only verify — the same candidate→verify discipline as
+    the minhash path, but EXACT instead of probabilistic. This
+    retires the O(n²) label while keeping the query's role as
+    dedup_lsh_recall's ground truth (the oracle stays brute-force)."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    ts = pt.arr_distinct(pt.tokens("text", SPARK), SPARK)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    s = docs.select(
+        "doc_id", "lang", F.expr(ts).alias("ts")
+    ).withColumn("na", F.expr("size(ts)")).persist(StorageLevel.MEMORY_AND_DISK)
+    ex = s.select("doc_id", "lang", "na", F.explode("ts").alias("tok"))
+    dfreq = ex.groupBy("lang", "tok").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy("df", "tok")
+    # prefix length = na - ceil(0.8*na) + 1; ceil(4*na/5) = (4*na+4) div 5
+    prefix = (
+        ex.join(dfreq, ["lang", "tok"])
+        .withColumn("rk", F.row_number().over(w))
+        .where(F.expr("rk <= na - ((4 * na + 4) div 5) + 1"))
+        .select("lang", "tok", "doc_id", "na")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.tok") == F.col("b.tok"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (5 * F.col("a.na") >= 4 * F.col("b.na"))
+            & (5 * F.col("b.na") >= 4 * F.col("a.na")),
+        )
+        .select(F.col("a.doc_id").alias("da"), F.col("b.doc_id").alias("db"))
+        .distinct()
+    )
+    # exact verify on candidates only — the same float expression as
+    # the template so thresholding and rounding are bit-identical
+    verified = (
+        cand.join(s.select(F.col("doc_id").alias("da"), F.col("ts").alias("tsa")), "da")
+        .join(s.select(F.col("doc_id").alias("db"), F.col("ts").alias("tsb")), "db")
+        .select(
+            F.col("da").alias("doc_a"),
+            F.col("db").alias("doc_b"),
+            F.expr("size(array_intersect(tsa, tsb))").alias("inter"),
+            F.expr("size(tsa)").alias("na"),
+            F.expr("size(tsb)").alias("nb"),
+        )
+        .where("cast(inter as double) / (na + nb - inter) >= 0.8")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.expr("round(cast(inter as double) / (na + nb - inter), 4)").alias(
+                "jaccard"
+            ),
+        )
+    )
+    return verified
+
+
 def corpus_pack_sequences_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator override of sql_corpus_pack_sequences: same rows as
     the template/oracle, computed by the scale-safe two-phase prefix
@@ -3732,6 +3813,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["ann_pq_topk"] = ann_pq_topk_query
     out["text_tfidf_terms"] = text_tfidf_terms_query
     out["text_dedup_spans"] = text_dedup_spans_query
+    out["dedup_token_jaccard"] = dedup_token_jaccard_query
     out["corpus_pack_sequences"] = corpus_pack_sequences_query
     # rows-only entries (BPE merge loop is not SQL-expressible)
     out["corpus_pack_bpe"] = corpus_pack_bpe_query
