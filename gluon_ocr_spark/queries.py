@@ -1283,7 +1283,14 @@ def sql_dedup_embedding_cosine(d: str) -> str:
     keeps every product < 2^63; t=0.45 → t²·10⁴ = 2025). No floats
     anywhere ⇒ bit-identical across engines even at the threshold
     boundary. The O(n²) pair join is the exactness baseline; the
-    LSH-bucketed path (ann_lsh_*) is the 100TB route."""
+    LSH-bucketed path (ann_lsh_*) is the 100TB route. Unlike the
+    token-Jaccard baseline (now an exact prefix-filtering join, see
+    dedup_token_jaccard_query), cosine over arbitrary signed vectors
+    admits no exact-complete prefix/length pruning — angular
+    similarity is scale-invariant and candidate-complete filters
+    (LSH) are probabilistic — so this ground truth is quadratic BY
+    NECESSITY, kept small-N and run only to calibrate the
+    probabilistic path."""
     q = pt.quantize_vec("embedding", d, q=1000)
     dot = pt.int_dot("a.q", "b.q", d)
     norm = pt.int_dot("q", "q", d)
