@@ -1395,6 +1395,74 @@ def sql_ann_ivf_nprobe2(d: str) -> str:
     """
 
 
+def _semantic_e_sql(d: str) -> str:
+    """The shared (vec_id, q, nrm, cell) projection of
+    sql_dedup_semantic: quantized vector, squared norm, and coarse
+    cell = nearest deterministic center (vec_id < _IVF_CENTERS) by
+    exact int64 L2 (ties to the lowest center id)."""
+    q = pt.quantize_vec("embedding", d, q=1000)
+    if d == SPARK:
+        dist = "aggregate(zip_with(v.q, c.q, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, t) -> acc + t)"
+    else:
+        dist = "list_sum(list_transform(list_zip(v.q, c.q), p -> (p[1] - p[2]) * (p[1] - p[2])))"
+    norm = pt.int_dot("q", "q", d)
+    return f"""
+    WITH e0 AS (SELECT vec_id, {q} AS q FROM embeddings),
+    centers AS (SELECT vec_id AS cid, q FROM e0 WHERE vec_id < {_IVF_CENTERS}),
+    assign AS (
+        SELECT vec_id, cid AS cell
+        FROM (
+            SELECT v.vec_id, c.cid,
+                   row_number() OVER (PARTITION BY v.vec_id ORDER BY {dist}, c.cid) AS rn
+            FROM e0 v CROSS JOIN centers c
+        ) a WHERE rn = 1
+    )
+    SELECT e0.vec_id, e0.q, {norm} AS nrm, assign.cell
+    FROM e0 JOIN assign ON e0.vec_id = assign.vec_id
+    """
+
+
+def sql_dedup_semantic(d: str, e_source: str | None = None) -> str:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding space coarsely, then
+    look for near-duplicate pairs ONLY within a cluster, and drop
+    every vector that has a sufficiently-similar predecessor in its
+    cluster (the paper's upper-triangular-matrix drop, with the
+    deterministic order = vec_id ascending here).
+
+    This is the scale path that the labeled-O(n²)
+    dedup_embedding_cosine ground truth exists to calibrate: at 10^12
+    rows the cluster assignment is one broadcast join against a tiny
+    center set, vectors are stored bucketed-by(cell), the pair join
+    is a per-cell equi-join (quadratic only within a cell, and cell
+    size is controlled by the number of centers), and the final drop
+    is a semi-join on (cell, vec_id). Same exact-integer cosine
+    decision as the baseline — cos(a,b) ≥ t ⇔ dot > 0 ∧
+    dot²·10⁴ ≥ (t²·10⁴)·‖a‖²·‖b‖² on Q=1000-quantized vectors, t=0.3
+    → 900 (a looser knob than the baseline's 0.45: the per-query
+    dedup aggressiveness dial) — so the kept set is bit-identical
+    across engines.
+    Output: every vector with its cell and kept flag (kept = 0 iff a
+    smaller-id vector in the same cell clears the threshold)."""
+    dot = pt.int_dot("a.q", "b.q", d)
+    e_body = _semantic_e_sql(d) if e_source is None else f"SELECT * FROM {e_source}"
+    return f"""
+    WITH e AS ({e_body}),
+    pairs AS (
+        SELECT b.vec_id, {dot} AS dot, a.nrm AS nrm_a, b.nrm AS nrm_b
+        FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    ),
+    dropped AS (
+        SELECT DISTINCT vec_id
+        FROM pairs
+        WHERE dot > 0 AND dot * dot * 10000 >= 900 * nrm_a * nrm_b
+    )
+    SELECT e.vec_id, e.cell,
+           CASE WHEN dropped.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+    FROM e LEFT JOIN dropped ON e.vec_id = dropped.vec_id
+    """
+
+
 def sql_emb_label_centroids(d: str) -> str:
     """Per-label embedding centroid sums — the class-prototype /
     cluster-seed computation of an embedding pipeline (centroids for
@@ -2637,6 +2705,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_simhash_hamming": sql_dedup_simhash_hamming,
     "recog_bucket_keys": sql_recog_bucket_keys,
     "dedup_embedding_cosine": sql_dedup_embedding_cosine,
+    "dedup_semantic": sql_dedup_semantic,
     "ann_topk": sql_ann_topk,
     "ann_filtered_topk": sql_ann_filtered_topk,
     "emb_label_centroids": sql_emb_label_centroids,
@@ -3417,6 +3486,52 @@ def dedup_simhash_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_hamming_pairs(docs, materialize=True)
 
 
+def dedup_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Operator override of sql_dedup_semantic: the assignment
+    projection e = (vec_id, q, nrm, cell) is referenced THREE times
+    (pair sides a and b, plus the output left join) and Spark
+    evaluates the CTE per reference — persist it once. Built in the
+    DataFrame API from the SAME df object: a persisted temp view
+    referenced from inside a `WITH` body is not cache-substituted on
+    Spark 4.1 (see text_dedup_spans_query). At a lake this
+    projection is the bucketed-by(cell) table SemDeDup reads.
+    Same rows as the template."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    register_views(spark, sf_dir)
+    e = spark.sql(_semantic_e_sql(SPARK)).persist(StorageLevel.MEMORY_AND_DISK)
+    a = e.select(
+        F.col("cell"),
+        F.col("vec_id").alias("a_id"),
+        F.col("q").alias("aq"),
+        F.col("nrm").alias("nrm_a"),
+    )
+    b = e.select(
+        F.col("cell"),
+        F.col("vec_id").alias("b_id"),
+        F.col("q").alias("bq"),
+        F.col("nrm").alias("nrm_b"),
+    )
+    dot = F.expr(
+        "aggregate(zip_with(aq, bq, (x, y) -> x * y), cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    dropped = (
+        a.join(b, ["cell"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(F.col("b_id").alias("vec_id"), dot.alias("dot"), "nrm_a", "nrm_b")
+        .where((F.col("dot") > 0) & (F.col("dot") * F.col("dot") * F.lit(10000) >= F.lit(900) * F.col("nrm_a") * F.col("nrm_b")))
+        .select("vec_id")
+        .distinct()
+        .withColumn("is_dropped", F.lit(1))
+    )
+    return e.join(dropped, ["vec_id"], "left").select(
+        "vec_id",
+        "cell",
+        F.when(F.col("is_dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("kept"),
+    )
+
+
 def ann_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator override of sql_ann_pq_topk: the (vec_id, m, dim,
     val) subvector table is read FOUR times (seed extraction, two
@@ -3818,6 +3933,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["text_bpe_merged"] = text_bpe_merged_query  # rows-only (no SQL oracle)
     out["text_bm25"] = text_bm25_query
     out["ann_pq_topk"] = ann_pq_topk_query
+    out["dedup_semantic"] = dedup_semantic_query
     out["text_tfidf_terms"] = text_tfidf_terms_query
     out["text_dedup_spans"] = text_dedup_spans_query
     out["dedup_token_jaccard"] = dedup_token_jaccard_query

@@ -457,3 +457,53 @@ def test_train_bpe_on_corpus_deterministic(spark, sf_dir):
         assert bpe.decode(bpe.encode(r["text"], ranks)) == r["text"]
     # corpus vocabulary differs from the seeded default table
     assert tuple(m1) != bpe.default_merges()
+
+
+def test_dedup_semantic_matches_numpy(spark, sf_dir):
+    """SemDeDup query vs an independent NumPy recompute: coarse-cell
+    assignment (exact int64 L2, ties to lowest center id) and the
+    upper-triangular within-cell drop (exact integer cosine, t=0.3)
+    must agree row-for-row."""
+    from gluon_ocr_spark.queries import (
+        SPARK as SPARK_D,
+        dedup_semantic_query,
+        sql_dedup_semantic,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    emb.createOrReplaceTempView("embeddings")
+    got = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in spark.sql(sql_dedup_semantic(SPARK_D)).collect()
+    }
+    # the gated operator override (persisted assignment) is row-identical
+    via_op = {
+        r["vec_id"]: (r["cell"], r["kept"])
+        for r in dedup_semantic_query(spark, sf_dir).collect()
+    }
+    assert via_op == got
+
+    pdf = emb.toPandas().sort_values("vec_id").reset_index(drop=True)
+    ids = pdf["vec_id"].to_numpy()
+    q = np.floor(np.stack(pdf["embedding"].to_numpy()).astype(np.float64) * 1000).astype(np.int64)
+    centers = q[ids < 32]
+    cids = ids[ids < 32]
+    # exact L2 to each center; argmin takes the first (lowest cid) on ties
+    d2 = ((q[:, None, :] - centers[None, :, :]) ** 2).sum(axis=2)
+    cell = cids[np.argmin(d2, axis=1)]
+    nrm = (q * q).sum(axis=1)
+    dropped = set()
+    for c in np.unique(cell):
+        members = np.where(cell == c)[0]
+        for i_pos, i in enumerate(members):
+            for j in members[i_pos + 1 :]:
+                dot = int(q[i] @ q[j])
+                if dot > 0 and dot * dot * 10000 >= 900 * int(nrm[i]) * int(nrm[j]):
+                    dropped.add(int(ids[j]))
+    assert len(got) == len(ids)
+    n_dropped = 0
+    for k, vid in enumerate(ids):
+        want_kept = 0 if int(vid) in dropped else 1
+        n_dropped += 1 - want_kept
+        assert got[int(vid)] == (int(cell[k]), want_kept), vid
+    assert n_dropped > 0  # threshold actually bites on the fixture
