@@ -68,6 +68,9 @@ BENCH_QUERIES = (
     "text_bm25",
     "ann_pq_topk",
     "text_dedup_spans",
+    # round-5 addition: cluster-bucketed SemDeDup (the embedding
+    # dedup scale path)
+    "dedup_semantic",
 )
 
 

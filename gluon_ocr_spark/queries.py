@@ -1395,6 +1395,40 @@ def sql_ann_ivf_nprobe2(d: str) -> str:
     """
 
 
+def sql_ann_ivf_recall(d: str) -> str:
+    """MEASURE the IVF approximate searchers against the exact top-k
+    ground truth — the receipt a production vector pipeline keeps for
+    its recall/nprobe dial (the ANN twin of dedup_lsh_recall). For
+    each query and probe setting (nprobe=1, nprobe=2): how many of
+    the true top-k (k = _TOP_K) the cell-pruned search returned
+    (n_found), and how many rows it returned at all (n_returned,
+    < k when the probed cells hold fewer than k candidates). The
+    nprobe=2 row dominating the nprobe=1 row on n_found is the
+    monotonicity a recall dial must show. All three searches are
+    exact-integer ranked, so the counts are bit-identical across
+    engines."""
+    exact = sql_ann_topk(d)
+    ivf1 = sql_ann_ivf_topk(d)
+    ivf2 = sql_ann_ivf_nprobe2(d)
+    return f"""
+    WITH exact_tk AS ({exact}),
+    ivf1 AS ({ivf1}),
+    ivf2 AS ({ivf2}),
+    m AS (
+        SELECT 'ivf_nprobe1' AS method, query_id, neighbor_id FROM ivf1
+        UNION ALL
+        SELECT 'ivf_nprobe2' AS method, query_id, neighbor_id FROM ivf2
+    )
+    SELECT m.method, m.query_id,
+           CAST(count(*) AS BIGINT) AS n_returned,
+           CAST(count(e.neighbor_id) AS BIGINT) AS n_found,
+           {_TOP_K} AS n_truth
+    FROM m LEFT JOIN exact_tk e
+      ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+    GROUP BY m.method, m.query_id
+    """
+
+
 def _semantic_e_sql(d: str) -> str:
     """The shared (vec_id, q, nrm, cell) projection of
     sql_dedup_semantic: quantized vector, squared norm, and coarse
@@ -2706,6 +2740,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "recog_bucket_keys": sql_recog_bucket_keys,
     "dedup_embedding_cosine": sql_dedup_embedding_cosine,
     "dedup_semantic": sql_dedup_semantic,
+    "ann_ivf_recall": sql_ann_ivf_recall,
     "ann_topk": sql_ann_topk,
     "ann_filtered_topk": sql_ann_filtered_topk,
     "emb_label_centroids": sql_emb_label_centroids,
