@@ -507,3 +507,25 @@ def test_dedup_semantic_matches_numpy(spark, sf_dir):
         n_dropped += 1 - want_kept
         assert got[int(vid)] == (int(cell[k]), want_kept), vid
     assert n_dropped > 0  # threshold actually bites on the fixture
+
+
+def test_ann_ivf_recall_monotone_in_nprobe(sf_dir):
+    """Recall receipt invariants (engine-independent, checked on the
+    DuckDB twin): 16 rows (8 queries × 2 probe settings), n_found ≤
+    n_returned ≤ n_truth, and widening the probe set never loses a
+    true neighbor (nprobe=2 dominates nprobe=1 per query)."""
+    import duckdb
+
+    from gluon_ocr_spark.queries import DUCK, sql_ann_ivf_recall
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{sf_dir}/embeddings.parquet'"
+    )
+    rows = con.execute(sql_ann_ivf_recall(DUCK)).fetchall()
+    assert len(rows) == 16
+    by = {(r[0], r[1]): r for r in rows}
+    for (method, qid), (_, _, n_ret, n_found, n_truth) in by.items():
+        assert 0 <= n_found <= n_ret <= n_truth == 5, (method, qid)
+    for qid in range(8):
+        assert by[("ivf_nprobe2", qid)][3] >= by[("ivf_nprobe1", qid)][3]
