@@ -149,6 +149,38 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_star_edges(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Per-bucket STAR edges for cluster resolution: one edge
+    (bucket-min doc, member doc) per band row instead of the full
+    within-bucket clique.
+
+    The LSH candidate relation is exactly a union of per-bucket
+    cliques, and a clique has the same connected components as a star
+    on any of its members — so feeding these edges to
+    :func:`connected_components` yields components (and min-id
+    cluster labels) IDENTICAL to feeding the all-pairs expansion,
+    while generating O(Σ|B|) edges instead of O(Σ|B|²). On a
+    boilerplate-heavy corpus the difference is decisive: at sf0.1 the
+    bands table is 20k rows but the clique expansion is 12.1M pairs
+    (6.5M distinct) — and at 10^12 docs a single hot template bucket
+    would make the quadratic form un-runnable. Use
+    :func:`minhash_candidate_pairs` when the pairs themselves are the
+    product (e.g. to feed pairwise Jaccard verification); use this
+    when only connectivity matters."""
+    from pyspark import StorageLevel
+
+    bands = minhash_bands(df, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
+    reps = bands.groupBy("band_id", "band_key").agg(F.min(id_col).alias("doc_a"))
+    return (
+        bands.join(reps, ["band_id", "band_key"])
+        .where(F.col(id_col) != F.col("doc_a"))
+        .select("doc_a", F.col(id_col).alias("doc_b"))
+        .distinct()
+    )
+
+
 def simhash_groups(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Hamming-0 simhash blocking. The codes projection persists
     before the 16 per-bit sums — same CollapseProject boundary as

@@ -3348,12 +3348,19 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emits one row per corpus doc: (doc_id, cluster_id = min doc_id
     of the component, cluster_size, keep = is-canonical). Oracle: the
     same pair template + a DuckDB recursive CTE that propagates min
-    labels along edges."""
-    from .operators.dedup import dedup_clusters, minhash_candidate_pairs
+    labels along edges.
+
+    CC input is the per-bucket STAR edge set (minhash_star_edges),
+    not the all-pairs clique expansion: the LSH relation is a union
+    of bucket cliques, and a clique's components equal a star's on
+    its min member — identical output (the oracle keeps the pair
+    form), O(Σ|B|) instead of O(Σ|B|²) edges (20k vs 6.5M at sf0.1,
+    and the quadratic form is un-runnable on a 10^12-doc hot
+    template bucket)."""
+    from .operators.dedup import dedup_clusters, minhash_star_edges
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    pairs = minhash_candidate_pairs(docs, materialize=True)
-    return dedup_clusters(docs, pairs)
+    return dedup_clusters(docs, minhash_star_edges(docs))
 
 
 def _oracle_dedup_clusters(d: str) -> str:

@@ -529,3 +529,23 @@ def test_ann_ivf_recall_monotone_in_nprobe(sf_dir):
         assert 0 <= n_found <= n_ret <= n_truth == 5, (method, qid)
     for qid in range(8):
         assert by[("ivf_nprobe2", qid)][3] >= by[("ivf_nprobe1", qid)][3]
+
+
+def test_star_edges_equal_clique_pairs_for_clusters(spark, docs):
+    """minhash_star_edges (per-bucket star on the bucket-min doc)
+    must give dedup_clusters output identical to the all-pairs clique
+    expansion — a clique and a star on any of its members have the
+    same connected components."""
+    from gluon_ocr_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_candidate_pairs,
+        minhash_star_edges,
+    )
+
+    small = docs.limit(200)
+    via_star = dedup_clusters(small, minhash_star_edges(small))
+    via_clique = dedup_clusters(small, minhash_candidate_pairs(small))
+    assert via_star.exceptAll(via_clique).count() == 0
+    assert via_clique.exceptAll(via_star).count() == 0
+    # star edge set is never larger than the band-row count
+    assert minhash_star_edges(small).count() <= small.count() * 4
