@@ -1419,3 +1419,85 @@ def compute_text2ids(i: int) -> dict:
 
 
 FAMILIES["kernel_text2ids"] = (compute_text2ids, N_CASES)
+
+
+def compute_suffix_dedup(i: int) -> list[dict]:
+    """Real suffix-array span dedup (kernels/suffix.py): per case, a
+    3-5 doc corpus with PLANTED cross-doc repeats (a shared
+    boilerplate run >= t, a sub-threshold shared run that must
+    survive, and an intra-doc-only repeat that must survive the
+    cross-doc criterion), plus random filler. Pins the SA order
+    digest, Kasai's longest-repeat length, the duplicated-start
+    count, and every doc's rebuilt text."""
+    from ..kernels.suffix import (
+        build_corpus,
+        cross_doc_dup_starts,
+        dedup_spans,
+        lcp_array,
+        longest_repeat,
+        suffix_array,
+    )
+
+    rng = _rng("suffixdedup", i)
+    t = int(rng.integers(3, 7))
+    vocab = [f"w{k}" for k in range(8)]
+
+    def rand_tokens(lo, hi):
+        return [vocab[int(x)] for x in rng.integers(0, len(vocab), size=int(rng.integers(lo, hi)))]
+
+    boiler = [f"b{k}" for k in range(t + int(rng.integers(0, 4)))]  # >= t, distinct alphabet
+    short = [f"s{k}" for k in range(max(1, t - 1))]  # < t: must survive
+    intra = [f"r{k}" for k in range(t)]  # repeated within ONE doc only
+    n_docs = int(rng.integers(3, 6))
+    docs = []
+    for d in range(n_docs):
+        doc = rand_tokens(0, 6)
+        if d < 2 or rng.random() < 0.5:
+            doc += boiler  # cross-doc repeat in >= 2 docs
+        # per-doc guard tokens fence the sub-threshold run so random
+        # filler coinciding across docs cannot extend it to >= t
+        doc += rand_tokens(0, 6) + [f"u{d}a"] + short + [f"u{d}b"] + rand_tokens(0, 4)
+        if d == 0:
+            doc += intra + rand_tokens(1, 3) + intra  # intra-doc only
+        docs.append(doc)
+
+    seq, doc_of, _ = build_corpus(docs)
+    sa = suffix_array(seq)
+    lcp = lcp_array(seq, sa)
+    digest = 0
+    for v in sa:
+        digest = (digest * 1000003 + int(v)) % 2147483647
+    lrs_len, _ = longest_repeat(seq)
+    n_starts = len(cross_doc_dup_starts(seq, doc_of, t))
+    cleaned = dedup_spans(docs, t)
+    # invariants asserted at fixture-build time so a broken kernel
+    # cannot silently ship: boiler gone everywhere it was planted
+    # >= 2x, short and intra runs untouched
+    for doc, (kept, _) in zip(docs, cleaned):
+        joined = " ".join(kept)
+        if sum(1 for d2 in docs if " ".join(boiler) in " ".join(d2)) >= 2:
+            if " ".join(boiler) in joined:
+                raise AssertionError(f"planted boiler survived (case {i})")
+        if " ".join(short) not in " ".join(doc):
+            raise AssertionError("short run missing from source")
+        if " ".join(short) not in joined:
+            raise AssertionError(f"sub-threshold run removed (case {i})")
+    if " ".join(intra) not in " ".join(cleaned[0][0]):
+        raise AssertionError(f"intra-doc-only repeat removed (case {i})")
+    return [
+        {
+            "case_id": int(i),
+            "doc_id": int(d),
+            "t": t,
+            "n_tokens": len(docs[d]),
+            "n_kept": int(n_kept),
+            "lrs_len": int(lrs_len),
+            "n_dup_starts": int(n_starts),
+            "sa_digest": int(digest),
+            "cleaned": " ".join(kept),
+        }
+        for d, (kept, n_kept) in enumerate(cleaned)
+    ]
+
+
+FAMILIES["kernel_suffix_dedup"] = (compute_suffix_dedup, N_CASES)

@@ -136,6 +136,10 @@ SCHEMAS = {
         "case_id bigint, pattern string, q_index bigint, width bigint, height bigint, "
         "n_bytes bigint, luma_digest bigint, max_err bigint, mean_err double"
     ),
+    "kernel_suffix_dedup": (
+        "case_id bigint, doc_id bigint, t bigint, n_tokens bigint, n_kept bigint, "
+        "lrs_len bigint, n_dup_starts bigint, sa_digest bigint, cleaned string"
+    ),
     "kernel_losses": (
         "case_id bigint, dice double, mask_l1 double, balance_ce double, db double, "
         "east double, iou double, giou double, ciou double, ctc double"

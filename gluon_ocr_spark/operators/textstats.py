@@ -288,3 +288,89 @@ def train_bpe_on_corpus(
         .collect()
     )
     return train_merges([r["t"] for r in sample], n_merges)
+
+
+def remove_dup_spans_sa(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_len: int = 16,
+    n_shards: int = 64,
+    shard=None,
+    counts_col: str | None = None,
+) -> DataFrame:
+    """SUFFIX-ARRAY span dedup (Lee et al.'s actual construction;
+    VERDICT r4 stretch 9) as a sharded ``applyInPandas`` transform:
+    within each shard, remove from every document the token positions
+    covered by a cross-doc repeat of length >= ``min_len`` — found on
+    a real suffix array (:mod:`gluon_ocr_spark.kernels.suffix`:
+    prefix-doubling SA + Kasai LCP over the sentinel-separated shard
+    corpus), not on materialized k-gram seeds.
+
+    vs :func:`remove_dup_spans`: same covered-set semantics at equal
+    threshold (a >= t repeat is the union of its t-window marks), but
+    no per-position gram hashing or gram-table shuffle — one Arrow
+    pass per shard, exact string equality (a hash collision can never
+    mark a false span), and the threshold can be raised without
+    recomputing a seed table. The trade is the shard boundary:
+    duplicates split across shards are not seen (the standard sharded
+    deployment of Lee et al. — run the global k-gram operator when
+    cross-shard recall matters). Size shards so a shard's token
+    stream fits an executor (10^12 docs / ~10^6 shards ≈ 10^6 docs a
+    shard); the group-by is ONE shuffle of (id, text).
+
+    Detection lowercases tokens (recall parity with the k-gram twin);
+    the rebuild keeps original-case tokens, and docs with no covered
+    span pass through byte-identical. ``shard`` overrides the default
+    ``xxhash64(id) % n_shards`` grouping column; ``counts_col``
+    appends the per-doc kept-token count."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    if shard is None:
+        shard = F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_shards))
+
+    out_schema = df.schema
+    if counts_col is not None:
+        from pyspark.sql.types import LongType, StructField, StructType
+
+        out_schema = StructType(
+            list(df.schema.fields) + [StructField(counts_col, LongType())]
+        )
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        from ..kernels.suffix import build_corpus, cross_doc_dup_starts
+
+        orig = [t.split(" ") for t in pdf[text_col].tolist()]
+        low = [[w.lower() for w in doc] for doc in orig]
+        seq, doc_of, pos_of = build_corpus(low)
+        starts = cross_doc_dup_starts(seq, doc_of, min_len)
+        texts = pdf[text_col].tolist()
+        counts = [len(doc) for doc in orig]
+        if len(starts):
+            import numpy as np
+
+            masks: dict[int, np.ndarray] = {}
+            for p in starts:
+                d = int(doc_of[p])
+                s = int(pos_of[p])
+                if d not in masks:
+                    masks[d] = np.ones(len(orig[d]), dtype=bool)
+                masks[d][s : s + min_len] = False
+            for d, mask in masks.items():
+                kept = [t for t, m in zip(orig[d], mask) if m]
+                texts[d] = " ".join(kept)
+                counts[d] = len(kept)
+        out = pdf[in_cols].copy()
+        out[text_col] = texts
+        if counts_col is not None:
+            out[counts_col] = pd.Series(counts, dtype="int64", index=out.index)
+        return out
+
+    return (
+        df.withColumn("__shard", shard)
+        .groupBy("__shard")
+        .applyInPandas(lambda key, pdf: run(pdf.drop(columns=["__shard"])), schema=out_schema)
+    )

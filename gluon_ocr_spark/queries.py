@@ -3222,6 +3222,106 @@ def _oracle_corpus_prep_dedup(d: str) -> str:
     """
 
 
+def text_dedup_spans_sa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array span dedup (Lee et al.'s real construction;
+    VERDICT r4 stretch 9) over 8 deterministic shards: prefix-doubling
+    SA + Kasai LCP per shard inside ``applyInPandas``
+    (:func:`operators.textstats.remove_dup_spans_sa`), threshold
+    t=16 tokens — double the k-gram twin's seed, exercising the SA
+    path's raise-the-threshold-for-free property. The oracle is the
+    equivalent t-gram formulation (a >= t repeat IS the union of its
+    t-window marks) grouped per shard with EXACT gram strings — no
+    hashes on either side, so a collision can never fake a match."""
+    from pyspark.sql import functions as F
+
+    from .operators.textstats import remove_dup_spans_sa
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+    out = remove_dup_spans_sa(
+        docs,
+        min_len=16,
+        n_shards=8,
+        shard=F.pmod(F.col("doc_id"), F.lit(8)),
+        counts_col="n_kept_tokens",
+    )
+    return out.select(
+        "doc_id", F.col("text").alias("cleaned_text"), "n_kept_tokens"
+    )
+
+
+def _oracle_text_dedup_spans_sa(d: str) -> str:
+    """The t-gram-equivalent formulation of per-shard suffix-array
+    span dedup: shard = doc_id % 8, t = 16, dup key = the exact gram
+    STRING (space-joined tokens are injective — tokens are space-
+    free), count(DISTINCT doc_id) >= 2 within the shard, then the
+    same gaps-and-islands interval merge / anti-join / ordered
+    rebuild as sql_text_dedup_spans."""
+    toks = pt.tokens("text", d)
+    t = 16
+    gram = f"list_aggregate(list_slice(w, i, i + {t - 1}), 'string_agg', ' ')"
+    starts = (
+        f"CASE WHEN len(w) >= {t} THEN list_transform(generate_series(1, len(w) - {t - 1}), "
+        f"i -> {{'s': i, 'g': {gram}}}) "
+        f"ELSE [] END"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
+    g AS (SELECT doc_id, {starts} AS gs FROM t),
+    gpos AS (
+        SELECT doc_id, doc_id % 8 AS shard, u.s AS s, u.g AS gh
+        FROM (SELECT doc_id, unnest(gs) AS u FROM g) xx
+    ),
+    dup AS (
+        SELECT shard, gh FROM gpos GROUP BY shard, gh
+        HAVING count(DISTINCT doc_id) > 1
+    ),
+    dstart AS (
+        SELECT ds.doc_id, ds.s
+        FROM gpos ds JOIN dup ON ds.gh = dup.gh AND ds.shard = dup.shard
+    ),
+    isl AS (
+        SELECT doc_id, s,
+               CASE WHEN s - lag(s) OVER (PARTITION BY doc_id ORDER BY s) <= {t}
+                    THEN 0 ELSE 1 END AS newgrp
+        FROM dstart
+    ),
+    ranges AS (
+        SELECT doc_id, min(s) AS rs, max(s) + {t - 1} AS re
+        FROM (
+            SELECT doc_id, s,
+                   sum(newgrp) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM isl
+        ) gi
+        GROUP BY doc_id, grp
+    ),
+    covered AS (
+        SELECT doc_id, unnest(generate_series(rs, re)) AS idx FROM ranges
+    ),
+    tokpos AS (
+        SELECT doc_id, idx, w[idx] AS tok
+        FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS idx FROM t) x
+    ),
+    kept AS (
+        SELECT tp.doc_id, tp.idx, tp.tok
+        FROM tokpos tp
+        LEFT JOIN covered c ON c.doc_id = tp.doc_id AND c.idx = tp.idx
+        WHERE c.idx IS NULL
+    )
+    SELECT t.doc_id,
+           coalesce(k2.cleaned, '') AS cleaned_text,
+           coalesce(k2.n_kept, 0) AS n_kept_tokens
+    FROM t
+    LEFT JOIN (
+        SELECT doc_id, string_agg(tok, ' ' ORDER BY idx) AS cleaned,
+               count(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    ) k2 ON k2.doc_id = t.doc_id
+    """
+
+
 def dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus dedup (VERDICT r4 stretch item 10): treat
     docs with ``doc_id % 4 != 0`` as the settled snapshot and the
@@ -4173,6 +4273,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_prep_roundtrip"] = corpus_prep_roundtrip_query
     out["corpus_prep_dedup"] = corpus_prep_dedup_query
     out["dedup_incremental"] = dedup_incremental_query
+    out["text_dedup_spans_sa"] = text_dedup_spans_sa_query
     out["text_bpe_merged"] = text_bpe_merged_query  # rows-only (no SQL oracle)
     out["text_bm25"] = text_bm25_query
     out["ann_pq_topk"] = ann_pq_topk_query
@@ -4246,6 +4347,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_prep_roundtrip"] = _oracle_corpus_prep(DUCK)
     out["corpus_prep_dedup"] = _oracle_corpus_prep_dedup(DUCK)
     out["dedup_incremental"] = _oracle_dedup_incremental(DUCK)
+    out["text_dedup_spans_sa"] = _oracle_text_dedup_spans_sa(DUCK)
     out["extract_lines"] = _oracle_extract_lines(DUCK)
     out["extract_stats"] = _oracle_extract_stats(DUCK)
     out["events_session_window_native"] = _oracle_session_window(DUCK)
