@@ -268,6 +268,61 @@ def sql_text_bigram_rarity(d: str) -> str:
     """
 
 
+def sql_text_lm_surprisal(d: str) -> str:
+    """CONDITIONAL bigram-LM surprisal filter — the CCNet/Wikipedia-
+    LM perplexity gate re-expressed integer-exact: train p(w2|w1) on
+    the corpus itself (context count = bigram occurrences starting
+    with w1), score every doc by the summed integer surprisal
+    ilog2 c(w1) − ilog2 c(w1,w2) ≈ −log2 p(w2|w1) of its bigrams,
+    where ilog2 x = floor(log2 x) = length(bin(x)) − 1 — pure integer
+    in both engines, so no libm-ulp divergence (the repo's log-free
+    IDF convention). Differs from text_bigram_rarity (marginal
+    frequency rank): this conditions on the left context, so a rare
+    word in its usual collocation scores LOW while a common word in
+    an alien context scores HIGH — the actual LM-filter signal.
+    Plan: one explode pass, two map-side-combinable count aggregates
+    (the count tables are dimension-sized — broadcastable at 100 TB),
+    one score join, one per-doc aggregate. High mean_milli_surprisal
+    ⇒ gibberish/OCR noise; near-zero ⇒ boilerplate."""
+    toks = pt.tokens("text", d)
+    if d == SPARK:
+        pairs = (
+            "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+            "i -> struct(element_at(tk, i) AS w1, "
+            "concat(element_at(tk, i), ' ', element_at(tk, i + 1)) AS g)) "
+            "ELSE array() END"
+        )
+        e_body = "SELECT doc_id, p.w1 AS w1, p.g AS g FROM b LATERAL VIEW explode(pb) pv AS p"
+        idiv = "div"
+    else:
+        pairs = (
+            "CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1), "
+            "i -> {'w1': tk[i], 'g': tk[i] || ' ' || tk[i + 1]}) ELSE [] END"
+        )
+        e_body = (
+            "SELECT doc_id, u.w1 AS w1, u.g AS g "
+            "FROM (SELECT doc_id, unnest(pb) AS u FROM b) xx"
+        )
+        idiv = "//"
+    surp = "(length(bin(cw.n)) - 1) - (length(bin(cg.n)) - 1)"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk FROM documents),
+    b AS (SELECT doc_id, {pairs} AS pb FROM t),
+    e AS ({e_body}),
+    cg AS (SELECT g, count(*) AS n FROM e GROUP BY g),
+    cw AS (SELECT w1, count(*) AS n FROM e GROUP BY w1)
+    SELECT e.doc_id,
+           count(*) AS n_bigrams,
+           CAST(sum({surp}) AS BIGINT) AS surprisal_sum,
+           CAST((1000 * CAST(sum({surp}) AS BIGINT)) {idiv} count(*) AS BIGINT)
+               AS mean_milli_surprisal
+    FROM e
+    JOIN cg ON cg.g = e.g
+    JOIN cw ON cw.w1 = e.w1
+    GROUP BY e.doc_id
+    """
+
+
 def sql_corpus_dsir_sample(d: str) -> str:
     """DSIR-style importance resampling (Xie et al. 2023,
     arXiv:2302.03169): score every raw doc by how target-like its
@@ -2784,6 +2839,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_fingerprint": sql_text_fingerprint,
     "text_repetition": sql_text_repetition,
     "text_bigram_rarity": sql_text_bigram_rarity,
+    "text_lm_surprisal": sql_text_lm_surprisal,
     "text_winnow": sql_text_winnow,
     "text_winnow_pairs": sql_text_winnow_pairs,
     "text_dup_ngrams": sql_text_dup_ngrams,

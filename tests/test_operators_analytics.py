@@ -549,3 +549,33 @@ def test_star_edges_equal_clique_pairs_for_clusters(spark, docs):
     assert via_clique.exceptAll(via_star).count() == 0
     # star edge set is never larger than the band-row count
     assert minhash_star_edges(small).count() <= small.count() * 4
+
+
+def test_lm_surprisal_conditions_on_context(spark):
+    """text_lm_surprisal is a CONDITIONAL score: a word that always
+    follows the same context is cheap even if globally rare, while a
+    common word in an alien context is expensive."""
+    from pyspark.sql import Row
+
+    from gluon_ocr_spark.queries import sql_text_lm_surprisal
+
+    # "zyx" is rare (appears 3x) but ALWAYS follows "the" -> p(zyx|the)
+    # is high among "the ?" bigrams only if "the" rarely precedes
+    # anything else; here "the" precedes cat 12x and zyx 3x.
+    rows = [Row(doc_id=i, text="the cat sat on the mat " * 2) for i in range(6)]
+    rows.append(Row(doc_id=100, text="the zyx the zyx the zyx"))  # rare-but-consistent
+    rows.append(Row(doc_id=101, text="mat the on sat cat the"))  # common words, alien order
+    spark.createDataFrame(rows).createOrReplaceTempView("documents")
+    try:
+        out = {
+            r.doc_id: r.mean_milli_surprisal
+            for r in spark.sql(sql_text_lm_surprisal("spark")).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    # boilerplate docs: every bigram is the modal continuation -> low
+    assert out[0] < out[101]
+    # alien-order doc scores strictly above the boilerplate docs
+    assert out[101] > out[0]
+    # integer surprisal is non-negative by construction (c(w1) >= c(w1,w2))
+    assert all(v >= 0 for v in out.values())
