@@ -51,6 +51,14 @@ def main() -> None:
         "token runs (span-level exact-substring dedup) before the "
         "quality gates",
     )
+    ap.add_argument(
+        "--span-method",
+        choices=("kgram", "sa"),
+        default="kgram",
+        help="with --remove-spans: kgram = global K-gram-seeded removal "
+        "(default), sa = sharded suffix-array removal (arbitrary-length "
+        "matches, per-shard recall)",
+    )
     args = ap.parse_args()
 
     from .plans.lineage import ExtractionJob
@@ -76,6 +84,7 @@ def main() -> None:
                 num_partitions=n_parts,
                 near_dedup=not args.no_near_dedup,
                 remove_spans=args.remove_spans,
+                span_method=args.span_method,
             )
         else:
             job = ExtractionJob(args.out, num_partitions=n_parts)

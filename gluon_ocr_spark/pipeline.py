@@ -42,6 +42,8 @@ def prepare_corpus(
     near_dedup: bool = True,
     cc_workdir: str | None = None,
     remove_spans: bool = False,
+    span_method: str = "kgram",
+    span_shards: int = 64,
 ) -> dict:
     """Run the full prep pipeline; returns stage counters.
 
@@ -65,7 +67,21 @@ def prepare_corpus(
         # left join) — inside it the docs node fans out into the
         # gram/token/rebuild branches and a CollectMetrics there
         # double-fires.
-        docs = remove_dup_spans(docs, id_col="url", text_col="text")
+        #
+        # span_method="sa" swaps in the sharded suffix-array operator
+        # (kernels/suffix.py): arbitrary-length matches >= 16 tokens,
+        # no gram table, exact string equality — recall is bounded by
+        # the shard instead of the seed size (duplicates split across
+        # shards survive; size shards so one shard's token stream
+        # fits an executor).
+        if span_method == "sa":
+            from .operators.textstats import remove_dup_spans_sa
+
+            docs = remove_dup_spans_sa(
+                docs, id_col="url", text_col="text", n_shards=span_shards
+            )
+        else:
+            docs = remove_dup_spans(docs, id_col="url", text_col="text")
     pages_in_count: int | None = None
     if remove_spans:
         # cut the lineage: the span stage fans the docs node into

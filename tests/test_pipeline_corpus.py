@@ -147,3 +147,41 @@ def test_prepare_corpus_remove_spans(spark, tmp_path):
     assert rows["page://a"].startswith("unique article about glaciers")
     assert "subscribe" not in rows["page://b"]
     assert rows["page://b"].endswith("wet spring season there")
+
+
+def test_prepare_corpus_remove_spans_sa(spark, tmp_path):
+    """span_method='sa' runs the sharded suffix-array removal: same
+    boilerplate kill as the k-gram path when the dup pair lands in
+    one shard (forced here with a tiny corpus), arbitrary length."""
+    from gluon_ocr_spark.sources.pages import wrap_text_as_page
+
+    boiler = (
+        "subscribe to our newsletter for all the latest updates and "
+        "exclusive offers delivered straight to your inbox today"
+    )
+    body_a = (
+        "unique article about glaciers carving deep valleys through "
+        "ancient mountain ranges over countless millennia of slow ice"
+    )
+    body_b = (
+        "completely different report covering harvest yields across "
+        "southern provinces after an unusually wet spring season there"
+    )
+    pages = spark.createDataFrame(
+        [
+            ("page://a", bytearray(wrap_text_as_page(0, body_a + " " + boiler))),
+            ("page://b", bytearray(wrap_text_as_page(1, boiler + " " + body_b))),
+        ],
+        "url string, html binary",
+    )
+    out = str(tmp_path / "spanclean_sa")
+    stats = prepare_corpus(
+        spark, pages, out, num_partitions=2,
+        remove_spans=True, span_method="sa", span_shards=1,
+    )
+    rows = {r["url"]: r["text"] for r in spark.read.parquet(out).collect()}
+    assert stats["corpus_out"] == 2
+    assert "subscribe" not in rows["page://a"] and "inbox" not in rows["page://a"]
+    assert rows["page://a"].startswith("unique article about glaciers")
+    assert "subscribe" not in rows["page://b"]
+    assert rows["page://b"].endswith("wet spring season there")
