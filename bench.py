@@ -71,6 +71,11 @@ BENCH_QUERIES = (
     # round-5 addition: cluster-bucketed SemDeDup (the embedding
     # dedup scale path)
     "dedup_semantic",
+    # round-5 stretch additions: batch-vs-snapshot dedup and the
+    # suffix-array span-dedup path (Arrow SA per shard vs the k-gram
+    # seed table of text_dedup_spans above)
+    "dedup_incremental",
+    "text_dedup_spans_sa",
 )
 
 
