@@ -355,3 +355,104 @@ def near_dedup_first_owner_batch(
         .where(F.col("n_bands") == n_bands)
         .select(id_col, "n_bands")
     )
+
+
+def incremental_dedup_stream(
+    docs: DataFrame,
+    base_bands: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+    watermark: str = "1 hour",
+    window: str = "10 minutes",
+) -> DataFrame:
+    """Streaming INCREMENTAL dedup: the crawl stream filtered against
+    a settled corpus snapshot — the streaming twin of
+    :func:`gluon_ocr_spark.operators.dedup.incremental_dedup`, and
+    exactly :func:`near_dedup_stream` with ONE extra STATELESS stage:
+    before any bucket can be claimed, the doc's band rows are
+    anti-joined against the snapshot's stored band table.
+
+    Keep rule (causal, single pass): a doc is emitted iff (a) NONE of
+    its LSH band buckets exists in the snapshot band table, and (b)
+    it is the first in-horizon claimant of ALL its remaining buckets.
+    An exact duplicate of a snapshot doc shares every band, so the
+    batch operator's fingerprint anti-join stage is subsumed by (a) —
+    no separate fp lookup needed. Bands that DID collide with the
+    snapshot are filtered before the claim stage, and a doc dropped
+    for a snapshot collision therefore never claims its other
+    buckets; in-stream transitive kills still work exactly as in
+    :func:`near_dedup_stream` (claimed buckets outlive dropped
+    claimants).
+
+    Scale: the stream-static anti-join is a stateless per-batch
+    equi-join against the snapshot band table — persist/bucket it by
+    (band_id, band_key) so each micro-batch is a hash probe, not a
+    rescan; streaming state stays bounded by the horizon's bucket
+    arrival rate, independent of snapshot size. After the horizon
+    closes, append the emitted docs' bands to the snapshot table —
+    the same artifact handoff as the batch operator's
+    ``snapshot_artifacts``."""
+    from ..functions import portable as pt
+    from ..functions.portable import SPARK
+
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    structs = ", ".join(
+        f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, SPARK)})"
+        for band in range(n_bands)
+    )
+    d = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    bands = d.selectExpr(
+        id_col, ts_col, f"{pt.token_codes(text_col, SPARK)} AS codes"
+    ).selectExpr(id_col, ts_col, f"inline(array({structs}))")
+    fresh = bands.join(
+        base_bands.select("band_id", "band_key"), ["band_id", "band_key"], "left_anti"
+    )
+    first = fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["band_id", "band_key"]
+    )
+    kept = (
+        first.groupBy(F.window(F.col(ts_col), window), F.col(id_col))
+        .agg(F.count("*").alias("n_bands"))
+        .where(F.col("n_bands") == n_bands)
+    )
+    return kept.select(
+        F.col("window.start").alias("window_start"), F.col(id_col), F.col("n_bands")
+    )
+
+
+def incremental_first_owner_batch(
+    docs: DataFrame,
+    base_bands: DataFrame,
+    id_col: str = "url",
+    text_col: str = "text",
+    ts_col: str = "warc_ts",
+) -> DataFrame:
+    """Batch oracle for :func:`incremental_dedup_stream`'s online
+    rule: drop every band row present in the snapshot band table,
+    then a doc is kept iff all of its bands survived AND it is the
+    min-(ts, id) owner of each surviving bucket."""
+    from pyspark.sql import Window
+
+    from ..functions import portable as pt
+    from ..functions.portable import SPARK
+
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    structs = ", ".join(
+        f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, SPARK)})"
+        for band in range(n_bands)
+    )
+    bands = docs.selectExpr(
+        id_col, ts_col, f"{pt.token_codes(text_col, SPARK)} AS codes"
+    ).selectExpr(id_col, ts_col, f"inline(array({structs}))")
+    fresh = bands.join(
+        base_bands.select("band_id", "band_key"), ["band_id", "band_key"], "left_anti"
+    )
+    w = Window.partitionBy("band_id", "band_key").orderBy(ts_col, id_col)
+    owned = fresh.withColumn("__rn", F.row_number().over(w)).where(F.col("__rn") == 1)
+    return (
+        owned.groupBy(id_col)
+        .agg(F.count("*").alias("n_owned"))
+        .where(F.col("n_owned") == n_bands)
+        .select(id_col)
+    )
