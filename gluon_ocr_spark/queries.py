@@ -323,6 +323,83 @@ def sql_text_lm_surprisal(d: str) -> str:
     """
 
 
+def sql_dedup_incremental_funnel(d: str) -> str:
+    """Stage-by-stage funnel receipt for the incremental dedup (the
+    measured-not-assumed companion of ``dedup_incremental``): how many
+    batch docs survive each snapshot-facing stage — exact-vs-base
+    anti-join, min-id exact dedup within the batch, LSH-candidate +
+    exact-Jaccard near-dup check against the base. (The final
+    within-batch CC stage's output is the dedup_incremental row set
+    itself.) One row; every stage is the same key-equi shape as the
+    operator, so the receipt costs what one operator run costs."""
+    codes = pt.token_codes("text", d)
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+
+    def band_selects(src: str) -> str:
+        return "\nUNION ALL\n".join(
+            f"SELECT doc_id, {band} AS band_id, "
+            f"{pt.band_key_expr('codes', band, d)} AS band_key FROM {src}"
+            for band in range(n_bands)
+        )
+
+    tset = pt.arr_distinct(pt.tokens("text", d), d)
+    inter = (
+        "size(array_intersect(a.ts, b.ts))" if d == SPARK else "len(list_intersect(a.ts, b.ts))"
+    )
+    na = pt.arr_size("a.ts", d)
+    nb = pt.arr_size("b.ts", d)
+    return f"""
+    WITH base AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0
+    ),
+    batch AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 4 = 0
+    ),
+    base_fp AS (SELECT DISTINCT md5(lower(text)) AS fp FROM base),
+    e1 AS (
+        SELECT * FROM batch
+        WHERE NOT EXISTS (
+            SELECT 1 FROM base_fp WHERE base_fp.fp = md5(lower(batch.text))
+        )
+    ),
+    r AS (
+        SELECT doc_id, text,
+               row_number() OVER (PARTITION BY md5(lower(text)) ORDER BY doc_id) AS rn
+        FROM e1
+    ),
+    e2 AS (SELECT doc_id, text FROM r WHERE rn = 1),
+    cb AS (SELECT doc_id, {codes} AS codes FROM e2),
+    cbase AS (SELECT doc_id, {codes} AS codes FROM base),
+    bands_batch AS ({band_selects('cb')}),
+    bands_base AS ({band_selects('cbase')}),
+    cand AS (
+        SELECT DISTINCT nb.doc_id AS doc_a, bb.doc_id AS doc_b
+        FROM bands_batch nb JOIN bands_base bb
+          ON nb.band_id = bb.band_id AND nb.band_key = bb.band_key
+    ),
+    tsb AS (SELECT doc_id, {tset} AS ts FROM e2),
+    tsbase AS (SELECT doc_id, {tset} AS ts FROM base),
+    hit AS (
+        SELECT DISTINCT p.doc_a
+        FROM cand p
+        JOIN tsb a ON a.doc_id = p.doc_a
+        JOIN tsbase b ON b.doc_id = p.doc_b
+        WHERE cast({inter} AS double) / ({na} + {nb} - {inter}) >= 0.8
+    ),
+    e3 AS (
+        SELECT * FROM e2
+        WHERE NOT EXISTS (SELECT 1 FROM hit WHERE hit.doc_a = e2.doc_id)
+    )
+    SELECT (SELECT count(*) FROM batch) AS n_batch,
+           (SELECT count(*) FROM e1) AS n_after_exact_base,
+           (SELECT count(*) FROM e2) AS n_after_exact_batch,
+           (SELECT count(*) FROM cand) AS n_base_candidates,
+           (SELECT count(*) FROM hit) AS n_near_base_hits,
+           (SELECT count(*) FROM e3) AS n_after_near_base
+    """
+
+
+
 def sql_corpus_dsir_sample(d: str) -> str:
     """DSIR-style importance resampling (Xie et al. 2023,
     arXiv:2302.03169): score every raw doc by how target-like its
@@ -2846,6 +2923,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_pii_scrub": sql_text_pii_scrub,
     "corpus_decontaminate": sql_corpus_decontaminate,
     "corpus_dsir_sample": sql_corpus_dsir_sample,
+    "dedup_incremental_funnel": sql_dedup_incremental_funnel,
     "web_url_canonical": sql_web_url_canonical,
     "web_url_dedup": sql_web_url_dedup,
     "web_domain_stats": sql_web_domain_stats,
