@@ -902,6 +902,77 @@ def sql_corpus_pack_sequences(d: str) -> str:
     """
 
 
+def sql_corpus_mix_unimax(d: str) -> str:
+    """UniMax mixture allocation (Chung et al. 2023, arXiv:2304.09151):
+    spread the token budget as EQUALLY as possible across languages,
+    but cap every language at one epoch of its corpus — the fairness
+    fix for proportional mixing (sql_corpus_mix_allocation), which
+    lets head languages swamp the mix and over-epochs the tail.
+
+    Waterfilling in closed form (no iteration): sort langs by cap
+    ascending; lang i is CAPPED iff cap_i · (langs left) ≤ budget −
+    (caps already granted) — the capped set is provably a prefix of
+    that order (if the equal share already exceeds your cap, it
+    exceeds every later lang's too). The uncapped remainder splits
+    the leftover equally, ties broken by lang for the odd tokens.
+    All integer; budget = 90% of one corpus epoch with one-epoch
+    caps, so tail languages cap out while the head splits the
+    leftover (both branches exercised), and budget < Σcaps
+    structurally guarantees an uncapped lang exists (no zero-divisor
+    edge). One aggregate + tiny windows over the 5-row lang table —
+    the same cost class as the proportional mix."""
+    toks = pt.tokens("text", d)
+    n = pt.arr_size(toks, d)
+    idiv = "div" if d == SPARK else "//"
+    return f"""
+    WITH lt AS (
+        SELECT lang, CAST(sum({n}) AS BIGINT) AS lang_tokens
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(lang_tokens) AS BIGINT) AS total,
+               (9 * CAST(sum(lang_tokens) AS BIGINT)) {idiv} 10 AS budget,
+               CAST(count(*) AS BIGINT) AS n_langs
+        FROM lt
+    ),
+    ord AS (
+        SELECT lang, lang_tokens, lang_tokens AS cap, budget, n_langs,
+               row_number() OVER (ORDER BY lang_tokens, lang) AS i,
+               coalesce(CAST(sum(lang_tokens) OVER (
+                   ORDER BY lang_tokens, lang
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS BIGINT), 0) AS pre
+        FROM lt CROSS JOIN tot
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN cap * (n_langs - i + 1) <= budget - pre
+                    THEN 1 ELSE 0 END AS capped
+        FROM ord
+    ),
+    stats AS (
+        SELECT CAST(sum(capped) AS BIGINT) AS k,
+               CAST(sum(cap * capped) AS BIGINT) AS s_capped
+        FROM flagged
+    ),
+    alloc AS (
+        SELECT f.lang, f.lang_tokens, f.cap, f.capped,
+               (f.budget - st.s_capped) AS leftover,
+               (f.n_langs - st.k) AS m,
+               CASE WHEN f.capped = 1 THEN CAST(0 AS BIGINT)
+                    ELSE row_number() OVER (
+                        PARTITION BY f.capped ORDER BY f.lang
+                    ) END AS ur
+        FROM flagged f CROSS JOIN stats st
+    )
+    SELECT lang, lang_tokens, capped,
+           CASE WHEN capped = 1 THEN cap
+                WHEN ur <= leftover % m THEN leftover {idiv} m + 1
+                ELSE leftover {idiv} m END AS alloc_tokens
+    FROM alloc
+    """
+
+
 def sql_corpus_mix_allocation(d: str) -> str:
     """Training-mix token BUDGETING with largest-remainder rounding:
     allocate a 1,000,000-token budget across languages proportionally
@@ -2972,6 +3043,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "dedup_lsh_recall": sql_dedup_lsh_recall,
     "text_inverted_postings": sql_text_inverted_postings,
     "corpus_mix_allocation": sql_corpus_mix_allocation,
+    "corpus_mix_unimax": sql_corpus_mix_unimax,
     "corpus_shuffle_shards": sql_corpus_shuffle_shards,
     "text_dup_run_lengths": sql_text_dup_run_lengths,
     "q5_region_revenue": sql_q5_region_revenue,

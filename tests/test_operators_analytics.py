@@ -579,3 +579,31 @@ def test_lm_surprisal_conditions_on_context(spark):
     assert out[101] > out[0]
     # integer surprisal is non-negative by construction (c(w1) >= c(w1,w2))
     assert all(v >= 0 for v in out.values())
+
+
+def test_unimax_waterfilling_closed_form(spark):
+    """corpus_mix_unimax: hand-computed waterfill — budget 90% of
+    total, one-epoch caps; tail langs cap out, the head splits the
+    leftover; allocations sum to the budget bit-for-bit."""
+    from pyspark.sql import Row
+
+    from gluon_ocr_spark.queries import sql_corpus_mix_unimax
+
+    # lang token counts: aa=10, bb=20, cc=100 -> total 130, budget 117
+    # ascending caps: aa(10): 10*3=30 <= 117 -> capped
+    # bb(20): 20*2=40 <= 107 -> capped ; cc: 100 > 87 -> uncapped, gets 87
+    rows = []
+    did = 0
+    for lang, n_tok in (("aa", 10), ("bb", 20), ("cc", 100)):
+        for chunk in range(n_tok // 10):
+            rows.append(Row(doc_id=did, lang=lang, text=" ".join(f"w{i}" for i in range(10))))
+            did += 1
+    spark.createDataFrame(rows).createOrReplaceTempView("documents")
+    try:
+        got = {
+            r.lang: (r.capped, r.alloc_tokens)
+            for r in spark.sql(sql_corpus_mix_unimax("spark")).collect()
+        }
+    finally:
+        spark.catalog.dropTempView("documents")
+    assert got == {"aa": (1, 10), "bb": (1, 20), "cc": (0, 87)}
