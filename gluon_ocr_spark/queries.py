@@ -2847,6 +2847,41 @@ def _sql_web_urls(d: str, raw_source: str | None = None) -> str:
     )"""
 
 
+def sql_web_skew_salt_plan(d: str, raw_source: str | None = None) -> str:
+    """Per-host SKEW receipt + derived salt plan — the measured side
+    of the north rule's "salted/range-partitioned by payload size to
+    defeat skew from large pages": one host (a mega-site, a crawler
+    trap) can hold a partition-sized share of the crawl's bytes, and
+    a plain hash-by-host layout then ships one straggler task. Per
+    host this computes the doc count, total and max payload
+    (char-length proxy for the html byte column), the host's share of
+    the corpus in basis points, and ``salt_fanout`` — how many salt
+    buckets the host needs so no bucket exceeds ~1/32 of the corpus
+    (the cluster-parallelism proxy): ceil(32·host_chars/total), i.e.
+    the fan-out :mod:`gluon_ocr_spark.partitioning`'s salted layout
+    should use for that host. One group-by shuffle + one 1-row
+    broadcast; the receipt is dimension-sized (hosts, not docs)."""
+    idiv = "div" if d == SPARK else "//"
+    return f"""
+    WITH {_sql_web_urls(d, raw_source)},
+    sizes AS (
+        SELECT c.host, length(doc.text) AS n_chars
+        FROM canon c JOIN documents doc ON doc.doc_id = c.doc_id
+    ),
+    hosts AS (
+        SELECT host, count(*) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS host_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_doc_chars
+        FROM sizes GROUP BY host
+    ),
+    tot AS (SELECT CAST(sum(host_chars) AS BIGINT) AS total FROM hosts)
+    SELECT host, n_docs, host_chars, max_doc_chars,
+           (10000 * host_chars) {idiv} total AS share_bp,
+           (32 * host_chars + total - 1) {idiv} total AS salt_fanout
+    FROM hosts CROSS JOIN tot
+    """
+
+
 def sql_web_url_canonical(d: str, raw_source: str | None = None) -> str:
     """Per-doc URL canonicalization: raw → canonical + registrable
     domain. Map-only projection — the 100 TB shape is a scan-attached
@@ -3000,6 +3035,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "web_domain_stats": sql_web_domain_stats,
     "web_robots_filter": sql_web_robots_filter,
     "web_pagerank": sql_web_pagerank,
+    "web_skew_salt_plan": sql_web_skew_salt_plan,
     "sketch_kmv_distinct": sql_sketch_kmv_distinct,
     "sketch_cms_tokens": sql_sketch_cms_tokens,
     "corpus_sample_stratified": sql_corpus_sample_stratified,
@@ -4497,6 +4533,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["web_url_dedup"] = _web_query_persisted(sql_web_url_dedup)
     out["web_robots_filter"] = _web_query_persisted(sql_web_robots_filter)
     out["web_domain_stats"] = _web_query_persisted(sql_web_domain_stats)
+    out["web_skew_salt_plan"] = _web_query_persisted(sql_web_skew_salt_plan)
     out["extract_lines"] = extract_lines_query
     out["extract_stats"] = extract_stats_query
     out["events_session_window_native"] = events_session_window_native
