@@ -1501,3 +1501,44 @@ def compute_suffix_dedup(i: int) -> list[dict]:
 
 
 FAMILIES["kernel_suffix_dedup"] = (compute_suffix_dedup, N_CASES)
+
+
+def compute_pad_canvas(i: int) -> dict:
+    """P6 pad-to-canvas gate (reference detect_dataset.py:102-117):
+    random image + canvas per case across all three layouts; pins the
+    padded shape, dtype (float64 — the reference's bare np.zeros),
+    content preservation (sum equality + top-left anchor digest) and
+    all-zero padding."""
+    from ..kernels.resize import pad_to_canvas
+
+    rng = _rng("padcanvas", i)
+    layout = ("CHW", "HWC", "HW")[i % 3]
+    h, w = int(rng.integers(2, 9)), int(rng.integers(2, 9))
+    ch, cw = h + int(rng.integers(0, 5)), w + int(rng.integers(0, 5))
+    c = int(rng.integers(1, 4))
+    if layout == "CHW":
+        img = rng.integers(0, 255, size=(c, h, w))
+    elif layout == "HWC":
+        img = rng.integers(0, 255, size=(h, w, c))
+    else:
+        img = rng.integers(0, 255, size=(h, w))
+    out = pad_to_canvas(img, (ch, cw), layout)
+    # digest over the anchored region, row-major
+    flat = out.ravel()
+    digest = 0
+    for v in flat:
+        digest = (digest * 1000003 + int(v)) % 2147483647
+    return {
+        "case_id": int(i),
+        "layout": layout,
+        "in_h": h,
+        "in_w": w,
+        "canvas_h": ch,
+        "canvas_w": cw,
+        "out_dtype": str(out.dtype),
+        "sum_preserved": bool(float(out.sum()) == float(img.sum())),
+        "pix_digest": int(digest),
+    }
+
+
+FAMILIES["kernel_pad_canvas"] = (compute_pad_canvas, N_CASES)

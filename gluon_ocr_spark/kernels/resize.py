@@ -84,3 +84,31 @@ def width_sort_batches(widths: list[int], batch_size: int = 16) -> tuple[list[in
     for pos, original in enumerate(order):
         unsort[original] = pos
     return order, batches, unsort
+
+
+def pad_to_canvas(img, size: tuple[int, int], layout: str = "CHW"):
+    """P6 pad-to-canvas, reference-exact (detect_dataset.py:102-117
+    ``padd_image``): a ZERO canvas of (size[0], size[1]) in the
+    requested layout, the input copied top-left-anchored. The
+    reference allocates with bare ``np.zeros`` — so the output dtype
+    is float64 regardless of input dtype — and raises on unknown
+    layouts; both behaviors are preserved. (Previously marked
+    "subsumed by the C3 max-width plan": the batching plan sizes the
+    canvas, this kernel actually builds it.)"""
+    import numpy as np
+
+    if layout == "CHW":
+        c, h, w = img.shape
+        new_img = np.zeros((c, size[0], size[1]))
+        new_img[:, :h, :w] = img.copy()
+    elif layout == "HWC":
+        h, w, c = img.shape
+        new_img = np.zeros((size[0], size[1], c))
+        new_img[:h, :w, :] = img.copy()
+    elif layout == "HW":
+        h, w = img.shape
+        new_img = np.zeros((size[0], size[1]))
+        new_img[:h, :w] = img.copy()
+    else:
+        raise ValueError("Layout type is not support.")
+    return new_img

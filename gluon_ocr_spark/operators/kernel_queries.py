@@ -136,6 +136,10 @@ SCHEMAS = {
         "case_id bigint, pattern string, q_index bigint, width bigint, height bigint, "
         "n_bytes bigint, luma_digest bigint, max_err bigint, mean_err double"
     ),
+    "kernel_pad_canvas": (
+        "case_id bigint, layout string, in_h bigint, in_w bigint, canvas_h bigint, "
+        "canvas_w bigint, out_dtype string, sum_preserved boolean, pix_digest bigint"
+    ),
     "kernel_suffix_dedup": (
         "case_id bigint, doc_id bigint, t bigint, n_tokens bigint, n_kept bigint, "
         "lrs_len bigint, n_dup_starts bigint, sa_digest bigint, cleaned string"

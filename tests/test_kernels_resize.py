@@ -50,3 +50,38 @@ def test_width_sort_batches_roundtrip():
     # unsort maps original index → position in sorted stream
     sorted_widths = [widths[i] for i in order]
     assert [sorted_widths[unsort[i]] for i in range(len(widths))] == widths
+
+
+class TestPadToCanvas:
+    """P6 pad-to-canvas pinned to detect_dataset.py:102-117: zero
+    canvas, top-left anchor, float64 out (bare np.zeros), raise on
+    unknown layout."""
+
+    def test_three_layouts_anchor_and_zero_fill(self):
+        import numpy as np
+
+        from gluon_ocr_spark.kernels.resize import pad_to_canvas
+
+        img = np.arange(24, dtype=np.uint8).reshape(2, 3, 4)
+        out = pad_to_canvas(img, (5, 6), "CHW")
+        assert out.shape == (2, 5, 6) and out.dtype == np.float64
+        assert np.array_equal(out[:, :3, :4], img)
+        assert out.sum() == img.sum()
+
+        img = np.arange(24, dtype=np.float32).reshape(3, 4, 2)
+        out = pad_to_canvas(img, (6, 5), "HWC")
+        assert out.shape == (6, 5, 2)
+        assert np.array_equal(out[:3, :4, :], img)
+
+        img = np.arange(12).reshape(3, 4)
+        out = pad_to_canvas(img, (3, 4), "HW")  # no-op canvas
+        assert np.array_equal(out, img)
+
+    def test_unknown_layout_raises(self):
+        import numpy as np
+        import pytest as _pytest
+
+        from gluon_ocr_spark.kernels.resize import pad_to_canvas
+
+        with _pytest.raises(ValueError):
+            pad_to_canvas(np.zeros((2, 2)), (3, 3), "WHC")
