@@ -176,6 +176,58 @@ def sql_text_lang_id(d: str) -> str:
     """
 
 
+def sql_corpus_gate_funnel(d: str) -> str:
+    """Quality-gate FUNNEL receipt: the marginal and joint drop
+    counts of prepare_corpus' gate chain (n_tokens in [10, 100000],
+    n_chars > 0, dup_bigram_frac <= 0.9) — what a pipeline owner
+    reads before touching thresholds: which gate does the work,
+    which is dead weight, how much survives. One scan, one global
+    aggregate of boolean flags; all-integer (the dup-bigram gate
+    compares 10·dup_count <= 9·n_bigrams — no float division; this is
+    the EXACT rational threshold, whereas the pipeline gate compares
+    the 4-decimal-rounded frac — they can differ only for fracs
+    within 5e-5 of 0.9)."""
+    toks = pt.tokens("text", d)
+    if d == SPARK:
+        n = "size(tk)"
+        bg = (
+            "CASE WHEN size(tk) >= 2 THEN transform(sequence(1, size(tk) - 1), "
+            "i -> concat(element_at(tk, i), ' ', element_at(tk, i + 1))) "
+            "ELSE array() END"
+        )
+        nd = "size(array_distinct(bg))"
+        nb = "size(bg)"
+    else:
+        n = "len(tk)"
+        bg = (
+            "CASE WHEN len(tk) >= 2 THEN list_transform(generate_series(1, len(tk) - 1), "
+            "i -> tk[i] || ' ' || tk[i + 1]) ELSE [] END"
+        )
+        nd = "len(list_distinct(bg))"
+        nb = "len(bg)"
+    return f"""
+    WITH t AS (SELECT doc_id, {toks} AS tk, length(text) AS n_chars FROM documents),
+    b AS (SELECT doc_id, {n} AS n_tokens, n_chars, {bg} AS bg FROM t),
+    flags AS (
+        SELECT doc_id,
+               CASE WHEN n_tokens < 10 THEN 1 ELSE 0 END AS f_min_tokens,
+               CASE WHEN n_tokens > 100000 THEN 1 ELSE 0 END AS f_max_tokens,
+               CASE WHEN n_chars <= 0 THEN 1 ELSE 0 END AS f_chars,
+               CASE WHEN {nb} > 0 AND 10 * ({nb} - {nd}) > 9 * {nb}
+                    THEN 1 ELSE 0 END AS f_dup_bigram
+        FROM b
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(f_min_tokens) AS BIGINT) AS drop_min_tokens,
+           CAST(sum(f_max_tokens) AS BIGINT) AS drop_max_tokens,
+           CAST(sum(f_chars) AS BIGINT) AS drop_empty,
+           CAST(sum(f_dup_bigram) AS BIGINT) AS drop_dup_bigram,
+           CAST(sum(CASE WHEN f_min_tokens + f_max_tokens + f_chars + f_dup_bigram = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS pass_all
+    FROM flags
+    """
+
+
 def sql_text_repetition(d: str) -> str:
     """Gopher-style repetition filters (Rae et al. 2021 §A1.1, the
     standard pre-training corpus quality rules): fraction of
@@ -3029,6 +3081,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_pii_scrub": sql_text_pii_scrub,
     "corpus_decontaminate": sql_corpus_decontaminate,
     "corpus_dsir_sample": sql_corpus_dsir_sample,
+    "corpus_gate_funnel": sql_corpus_gate_funnel,
     "dedup_incremental_funnel": sql_dedup_incremental_funnel,
     "web_url_canonical": sql_web_url_canonical,
     "web_url_dedup": sql_web_url_dedup,
