@@ -144,3 +144,144 @@ def prepare_corpus(
     if after_exact_count is not None:
         counters["after_exact_dedup"] = after_exact_count
     return counters
+
+
+class IncrementalCorpus:
+    """Recurring-crawl corpus warehouse with exactly-once increment
+    ingestion — the production loop around
+    :func:`gluon_ocr_spark.operators.dedup.incremental_dedup`.
+
+    Layout (plain-parquet emulation of Iceberg snapshots, same
+    contract as :mod:`gluon_ocr_spark.plans.lineage`: an increment is
+    COMMITTED only when its row appears in ``_lineage``, which is
+    written last — orphan directories from crashes are invisible to
+    readers and harmlessly re-processed on retry):
+
+    * ``docs/increment=<id>/``  — admitted docs of that increment;
+    * ``fps/increment=<id>/``   — their content fingerprints;
+    * ``bands/increment=<id>/`` — their LSH band rows;
+    * ``_lineage/``             — the commit log (one file per
+      increment; the append is all-or-nothing).
+
+    Each ``ingest`` reads the snapshot ONLY through the committed
+    artifact tables (never re-hashing settled docs — at 10^12 docs
+    the artifact read is the whole cost of history), extracts + gates
+    the new pages with prepare_corpus' chain, admits survivors via
+    the four-stage incremental dedup, and appends docs + artifacts +
+    lineage. Re-running a committed increment_id is a no-op replay
+    (idempotent under foreachBatch-style redelivery)."""
+
+    LINEAGE_SCHEMA = (
+        "increment_id string, qualified bigint, admitted bigint, committed_at timestamp"
+    )
+
+    def __init__(self, warehouse_dir: str):
+        import os
+
+        self.warehouse_dir = warehouse_dir
+        self.docs_dir = os.path.join(warehouse_dir, "docs")
+        self.fps_dir = os.path.join(warehouse_dir, "fps")
+        self.bands_dir = os.path.join(warehouse_dir, "bands")
+        self.lineage_dir = os.path.join(warehouse_dir, "_lineage")
+
+    # -- read side ----------------------------------------------------
+    def committed_ids(self, spark: SparkSession) -> list[str]:
+        try:
+            lin = spark.read.parquet(self.lineage_dir)
+        except Exception:
+            return []
+        return [r["increment_id"] for r in lin.select("increment_id").distinct().collect()]
+
+    def _read_committed(self, spark: SparkSession, base_dir: str) -> DataFrame | None:
+        import os
+
+        ids = self.committed_ids(spark)
+        paths = [os.path.join(base_dir, f"increment={i}") for i in ids]
+        paths = [p for p in paths if os.path.isdir(p)]
+        if not paths:
+            return None
+        return spark.read.parquet(*paths)
+
+    def read_docs(self, spark: SparkSession) -> DataFrame | None:
+        """Union of committed increments only."""
+        return self._read_committed(spark, self.docs_dir)
+
+    # -- write side ---------------------------------------------------
+    def ingest(
+        self,
+        spark: SparkSession,
+        pages: DataFrame,
+        increment_id: str,
+        min_tokens: int = 10,
+        max_tokens: int = 100_000,
+        max_dup_bigram_frac: float = 0.9,
+        threshold: float = 0.8,
+        num_partitions: int | None = None,
+    ) -> dict:
+        import os
+
+        from .operators.dedup import incremental_dedup, snapshot_artifacts
+
+        if increment_id in self.committed_ids(spark):
+            lin = (
+                spark.read.parquet(self.lineage_dir)
+                .where(F.col("increment_id") == increment_id)
+                .collect()[0]
+            )
+            return {
+                "increment_id": increment_id,
+                "qualified": lin["qualified"],
+                "admitted": lin["admitted"],
+                "replayed": True,
+            }
+
+        docs = with_repetition(with_quality(with_token_stats(
+            extract_docs(pages, num_partitions=num_partitions)
+        )))
+        qualified = docs.where(
+            (F.col("n_tokens") >= min_tokens)
+            & (F.col("n_tokens") <= max_tokens)
+            & (F.col("n_chars") > 0)
+            & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+        ).select("url", "text", "n_lines", "n_chars", "n_tokens", "dup_bigram_frac")
+        # one materialization of the gated batch: the dedup stages
+        # read it repeatedly (same boundary as prepare_corpus)
+        qualified = qualified.localCheckpoint(eager=True)
+        n_qualified = qualified.count()
+
+        base = self.read_docs(spark)
+        base_fps = self._read_committed(spark, self.fps_dir)
+        base_bands = self._read_committed(spark, self.bands_dir)
+        if base is None:
+            # first increment: no snapshot — within-batch dedup only
+            from .operators.dedup import drop_near_dups as _dnd
+
+            admitted = _dnd(drop_exact_dups(qualified, id_col="url", text_col="text"),
+                            id_col="url", text_col="text", threshold=threshold)
+        else:
+            admitted = incremental_dedup(
+                qualified, base, id_col="url", text_col="text",
+                threshold=threshold, base_fps=base_fps, base_bands=base_bands,
+            )
+
+        inc_docs_dir = os.path.join(self.docs_dir, f"increment={increment_id}")
+        admitted.write.mode("overwrite").parquet(inc_docs_dir)
+        written = spark.read.parquet(inc_docs_dir)
+        fps, bands = snapshot_artifacts(written, id_col="url", text_col="text")
+        fps.write.mode("overwrite").parquet(os.path.join(self.fps_dir, f"increment={increment_id}"))
+        bands.write.mode("overwrite").parquet(
+            os.path.join(self.bands_dir, f"increment={increment_id}")
+        )
+        n_admitted = written.count()
+        lineage = spark.createDataFrame(
+            [(increment_id, n_qualified, n_admitted)],
+            "increment_id string, qualified bigint, admitted bigint",
+        ).withColumn("committed_at", F.current_timestamp())
+        # THE commit point — one file, all-or-nothing append
+        lineage.coalesce(1).write.mode("append").parquet(self.lineage_dir)
+        return {
+            "increment_id": increment_id,
+            "qualified": n_qualified,
+            "admitted": n_admitted,
+            "replayed": False,
+        }
