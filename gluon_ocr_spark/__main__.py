@@ -32,6 +32,14 @@ def main() -> None:
     )
     ap.add_argument("--master", default=None)
     ap.add_argument(
+        "--ingest-increment",
+        metavar="ID",
+        help="ingest the input pages as crawl increment ID into the "
+        "--out warehouse (exactly-once: extract → gates → incremental "
+        "dedup against the stored snapshot artifacts → append docs + "
+        "artifacts + lineage; replaying a committed ID is a no-op)",
+    )
+    ap.add_argument(
         "--prep-corpus",
         action="store_true",
         help="run the FULL corpus-prep pipeline (extract → quality/"
@@ -74,7 +82,13 @@ def main() -> None:
         else:
             ap.error("one of --pages / --synthetic is required")
         n_parts = args.partitions or spark.sparkContext.defaultParallelism
-        if args.prep_corpus:
+        if args.ingest_increment:
+            from .pipeline import IncrementalCorpus
+
+            stats = IncrementalCorpus(args.out).ingest(
+                spark, pages, args.ingest_increment, num_partitions=n_parts
+            )
+        elif args.prep_corpus:
             from .pipeline import prepare_corpus
 
             stats = prepare_corpus(
