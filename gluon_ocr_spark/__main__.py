@@ -82,6 +82,13 @@ def main() -> None:
         else:
             ap.error("one of --pages / --synthetic is required")
         n_parts = args.partitions or spark.sparkContext.defaultParallelism
+        if args.ingest_increment and (
+            args.prep_corpus or args.no_near_dedup or args.remove_spans
+        ):
+            ap.error(
+                "--ingest-increment is its own pipeline; it cannot be "
+                "combined with --prep-corpus / --no-near-dedup / --remove-spans"
+            )
         if args.ingest_increment:
             from .pipeline import IncrementalCorpus
 

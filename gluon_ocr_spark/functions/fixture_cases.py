@@ -1432,9 +1432,8 @@ def compute_suffix_dedup(i: int) -> list[dict]:
     from ..kernels.suffix import (
         build_corpus,
         cross_doc_dup_starts,
-        dedup_spans,
+        keep_masks,
         lcp_array,
-        longest_repeat,
         suffix_array,
     )
 
@@ -1461,15 +1460,24 @@ def compute_suffix_dedup(i: int) -> list[dict]:
             doc += intra + rand_tokens(1, 3) + intra  # intra-doc only
         docs.append(doc)
 
-    seq, doc_of, _ = build_corpus(docs)
+    # ONE SA+LCP construction; every derived product (digest, longest
+    # repeat, dup starts, cleaned docs) reads the same pair — this
+    # compute runs inside mapInPandas on every battery execution, not
+    # just at fixture-build time
+    seq, doc_of, pos_of = build_corpus(docs)
     sa = suffix_array(seq)
     lcp = lcp_array(seq, sa)
     digest = 0
     for v in sa:
         digest = (digest * 1000003 + int(v)) % 2147483647
-    lrs_len, _ = longest_repeat(seq)
-    n_starts = len(cross_doc_dup_starts(seq, doc_of, t))
-    cleaned = dedup_spans(docs, t)
+    lrs_len = int(lcp.max()) if len(lcp) else 0
+    starts = cross_doc_dup_starts(seq, doc_of, t, sa=sa, lcp=lcp)
+    n_starts = len(starts)
+    masks = keep_masks(starts, doc_of, pos_of, [len(d) for d in docs], t)
+    cleaned = [
+        ([tok for tok, m in zip(doc, mask) if m], int(mask.sum()))
+        for doc, mask in zip(docs, masks)
+    ]
     # invariants asserted at fixture-build time so a broken kernel
     # cannot silently ship: boiler gone everywhere it was planted
     # >= 2x, short and intra runs untouched
@@ -1523,7 +1531,8 @@ def compute_pad_canvas(i: int) -> dict:
     else:
         img = rng.integers(0, 255, size=(h, w))
     out = pad_to_canvas(img, (ch, cw), layout)
-    # digest over the anchored region, row-major
+    # digest over the WHOLE padded canvas, row-major (padding zeros
+    # included — a misplaced anchor or dirty canvas changes it)
     flat = out.ravel()
     digest = 0
     for v in flat:

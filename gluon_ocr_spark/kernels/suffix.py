@@ -150,7 +150,7 @@ def build_corpus(token_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray, 
     )
 
 
-def cross_doc_dup_starts(seq, doc_of, min_len: int) -> np.ndarray:
+def cross_doc_dup_starts(seq, doc_of, min_len: int, sa=None, lcp=None) -> np.ndarray:
     """Global positions whose ``min_len``-token forward window occurs
     in >= 2 DISTINCT documents (the battery's dup criterion).
 
@@ -159,9 +159,12 @@ def cross_doc_dup_starts(seq, doc_of, min_len: int) -> np.ndarray:
     ``min_len``-window (two suffixes share a >= min_len prefix iff
     every suffix between them in SA order does); a class is
     duplicated iff it spans >= 2 docs, and then EVERY member is a
-    duplicated start."""
-    sa = suffix_array(seq)
-    lcp = lcp_array(seq, sa)
+    duplicated start. Pass precomputed ``sa``/``lcp`` to reuse one
+    construction across several derived products."""
+    if sa is None:
+        sa = suffix_array(seq)
+    if lcp is None:
+        lcp = lcp_array(seq, sa)
     n = len(sa)
     if n == 0:
         return np.empty(0, dtype=np.int64)
@@ -180,24 +183,39 @@ def cross_doc_dup_starts(seq, doc_of, min_len: int) -> np.ndarray:
     return np.sort(sa[dup_groups[grp]])
 
 
+def keep_masks(
+    starts: np.ndarray, doc_of, pos_of, doc_lens: list[int], min_len: int
+) -> list[np.ndarray]:
+    """Per-doc boolean keep masks from the duplicated-start set: every
+    ``[s, s+min_len)`` window at a dup start is cleared. The single
+    mask builder shared by :func:`dedup_spans` and the sharded
+    operator (operators.textstats.remove_dup_spans_sa) so the
+    marking rule cannot diverge between the kernel/fixture and the
+    production path. A dup window never crosses a sentinel (sentinels
+    are unique), so the slice stays inside the document."""
+    masks = [np.ones(n, dtype=bool) for n in doc_lens]
+    for p in starts:
+        d = int(doc_of[p])
+        s = int(pos_of[p])
+        masks[d][s : s + min_len] = False
+    return masks
+
+
 def dedup_spans(
-    token_lists: list[list[str]], min_len: int
+    token_lists: list[list[str]], min_len: int, starts_out: list | None = None
 ) -> list[tuple[list[str], int]]:
     """Removes from every document the token positions covered by a
     cross-doc repeat of length >= ``min_len`` (all occurrences — the
     battery's text_dedup_spans keep rule). Returns per doc
-    ``(kept_tokens, n_kept)``."""
+    ``(kept_tokens, n_kept)``. ``starts_out``: optional list that
+    receives the dup-start array (fixture introspection)."""
     seq, doc_of, pos_of = build_corpus(token_lists)
     starts = cross_doc_dup_starts(seq, doc_of, min_len)
-    keep_masks = [np.ones(len(doc), dtype=bool) for doc in token_lists]
-    for p in starts:
-        d = int(doc_of[p])
-        s = int(pos_of[p])
-        # a dup window never crosses a sentinel (sentinels are
-        # unique), so [s, s+min_len) stays inside the document
-        keep_masks[d][s : s + min_len] = False
+    if starts_out is not None:
+        starts_out.append(starts)
+    masks = keep_masks(starts, doc_of, pos_of, [len(d) for d in token_lists], min_len)
     out = []
-    for doc, mask in zip(token_lists, keep_masks):
+    for doc, mask in zip(token_lists, masks):
         kept = [t for t, m in zip(doc, mask) if m]
         out.append((kept, len(kept)))
     return out

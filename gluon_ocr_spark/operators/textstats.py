@@ -341,25 +341,22 @@ def remove_dup_spans_sa(
     in_cols = [f.name for f in df.schema.fields]
 
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
-        from ..kernels.suffix import build_corpus, cross_doc_dup_starts
+        from ..kernels.suffix import build_corpus, cross_doc_dup_starts, keep_masks
 
-        orig = [t.split(" ") for t in pdf[text_col].tolist()]
+        raw = pdf[text_col].tolist()
+        # NULL text passes through untouched (count 0) — parity with
+        # the k-gram twin, whose pure-SQL split propagates null
+        orig = [t.split(" ") if isinstance(t, str) else [] for t in raw]
         low = [[w.lower() for w in doc] for doc in orig]
         seq, doc_of, pos_of = build_corpus(low)
         starts = cross_doc_dup_starts(seq, doc_of, min_len)
-        texts = pdf[text_col].tolist()
-        counts = [len(doc) for doc in orig]
+        texts = list(raw)
+        counts = [len(doc) if isinstance(t, str) else 0 for doc, t in zip(orig, raw)]
         if len(starts):
-            import numpy as np
-
-            masks: dict[int, np.ndarray] = {}
-            for p in starts:
-                d = int(doc_of[p])
-                s = int(pos_of[p])
-                if d not in masks:
-                    masks[d] = np.ones(len(orig[d]), dtype=bool)
-                masks[d][s : s + min_len] = False
-            for d, mask in masks.items():
+            masks = keep_masks(starts, doc_of, pos_of, [len(d) for d in orig], min_len)
+            for d, mask in enumerate(masks):
+                if mask.all():
+                    continue
                 kept = [t for t, m in zip(orig[d], mask) if m]
                 texts[d] = " ".join(kept)
                 counts[d] = len(kept)

@@ -171,9 +171,10 @@ class IncrementalCorpus:
     lineage. Re-running a committed increment_id is a no-op replay
     (idempotent under foreachBatch-style redelivery)."""
 
-    LINEAGE_SCHEMA = (
-        "increment_id string, qualified bigint, admitted bigint, committed_at timestamp"
-    )
+    #: commit-log row schema BEFORE the committed_at timestamp is
+    #: appended at the commit point (single definition — used by the
+    #: createDataFrame call in ingest)
+    LINEAGE_ROW_SCHEMA = "increment_id string, qualified bigint, admitted bigint"
 
     def __init__(self, warehouse_dir: str):
         import os
@@ -186,16 +187,24 @@ class IncrementalCorpus:
 
     # -- read side ----------------------------------------------------
     def committed_ids(self, spark: SparkSession) -> list[str]:
-        try:
-            lin = spark.read.parquet(self.lineage_dir)
-        except Exception:
-            return []
-        return [r["increment_id"] for r in lin.select("increment_id").distinct().collect()]
+        """Distinct committed increment ids from the commit log.
 
-    def _read_committed(self, spark: SparkSession, base_dir: str) -> DataFrame | None:
+        ONLY a missing lineage directory maps to "no commits yet" — a
+        transient read failure on an existing log must raise, not be
+        mistaken for an empty warehouse (which would re-admit
+        snapshot duplicates and double-commit the increment)."""
         import os
 
-        ids = self.committed_ids(spark)
+        if not os.path.isdir(self.lineage_dir):
+            return []
+        lin = spark.read.parquet(self.lineage_dir)
+        return [r["increment_id"] for r in lin.select("increment_id").distinct().collect()]
+
+    def _read_committed(
+        self, spark: SparkSession, base_dir: str, ids: list[str]
+    ) -> DataFrame | None:
+        import os
+
         paths = [os.path.join(base_dir, f"increment={i}") for i in ids]
         paths = [p for p in paths if os.path.isdir(p)]
         if not paths:
@@ -204,7 +213,7 @@ class IncrementalCorpus:
 
     def read_docs(self, spark: SparkSession) -> DataFrame | None:
         """Union of committed increments only."""
-        return self._read_committed(spark, self.docs_dir)
+        return self._read_committed(spark, self.docs_dir, self.committed_ids(spark))
 
     # -- write side ---------------------------------------------------
     def ingest(
@@ -222,7 +231,8 @@ class IncrementalCorpus:
 
         from .operators.dedup import incremental_dedup, snapshot_artifacts
 
-        if increment_id in self.committed_ids(spark):
+        committed = self.committed_ids(spark)  # ONE commit-log read per ingest
+        if increment_id in committed:
             lin = (
                 spark.read.parquet(self.lineage_dir)
                 .where(F.col("increment_id") == increment_id)
@@ -249,9 +259,9 @@ class IncrementalCorpus:
         qualified = qualified.localCheckpoint(eager=True)
         n_qualified = qualified.count()
 
-        base = self.read_docs(spark)
-        base_fps = self._read_committed(spark, self.fps_dir)
-        base_bands = self._read_committed(spark, self.bands_dir)
+        base = self._read_committed(spark, self.docs_dir, committed)
+        base_fps = self._read_committed(spark, self.fps_dir, committed)
+        base_bands = self._read_committed(spark, self.bands_dir, committed)
         if base is None:
             # first increment: no snapshot — within-batch dedup only
             from .operators.dedup import drop_near_dups as _dnd
@@ -275,7 +285,7 @@ class IncrementalCorpus:
         n_admitted = written.count()
         lineage = spark.createDataFrame(
             [(increment_id, n_qualified, n_admitted)],
-            "increment_id string, qualified bigint, admitted bigint",
+            self.LINEAGE_ROW_SCHEMA,
         ).withColumn("committed_at", F.current_timestamp())
         # THE commit point — one file, all-or-nothing append
         lineage.coalesce(1).write.mode("append").parquet(self.lineage_dir)
