@@ -1209,7 +1209,7 @@ def sql_text_dup_run_lengths(d: str) -> str:
     """
 
 
-def sql_text_dedup_spans(d: str, gpos_source: str | None = None) -> str:
+def sql_text_dedup_spans(d: str) -> str:
     """SPAN-level exact-substring dedup (Lee et al., "Deduplicating
     Training Data Makes Language Models Better"; the SlimPajama /
     RefinedWeb curation step): REMOVE from every document the token
@@ -1269,21 +1269,10 @@ def sql_text_dedup_spans(d: str, gpos_source: str | None = None) -> str:
         rebuild = "string_agg(tok, ' ' ORDER BY idx)"
         tok_at = "w[idx]"
         idx_seq = "unnest(generate_series(1, len(w)))"
-    if gpos_source == "__gpos_only__":
-        # standalone statement for the persisted-projection override:
-        # just the position-carrying K-gram hash rows
-        return f"""
-    WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
-    g AS (SELECT doc_id, {starts} AS gs FROM t)
-    {gpos_body}
-    """
-    gpos_cte = (
-        f"SELECT * FROM {gpos_source}" if gpos_source else gpos_body
-    )
     return f"""
     WITH t AS (SELECT doc_id, {toks} AS w FROM documents),
     g AS (SELECT doc_id, {starts} AS gs FROM t),
-    gpos AS ({gpos_cte}),
+    gpos AS ({gpos_body}),
     dup AS (
         SELECT gh FROM gpos GROUP BY gh HAVING count(DISTINCT doc_id) > 1
     ),
@@ -1726,9 +1715,12 @@ def sql_ann_ivf_recall(d: str) -> str:
     (n_found), and how many rows it returned at all (n_returned,
     < k when the probed cells hold fewer than k candidates). The
     nprobe=2 row dominating the nprobe=1 row on n_found is the
-    monotonicity a recall dial must show. All three searches are
-    exact-integer ranked, so the counts are bit-identical across
-    engines."""
+    monotonicity a recall dial must show. Every (method, query) pair
+    gets a row even when the probed cells return ZERO candidates
+    (n_returned = n_found = 0) — dropping those rows would hide
+    exactly the worst-recall queries from the receipt. All three
+    searches are exact-integer ranked, so the counts are
+    bit-identical across engines."""
     exact = sql_ann_topk(d)
     ivf1 = sql_ann_ivf_topk(d)
     ivf2 = sql_ann_ivf_nprobe2(d)
@@ -1740,14 +1732,28 @@ def sql_ann_ivf_recall(d: str) -> str:
         SELECT 'ivf_nprobe1' AS method, query_id, neighbor_id FROM ivf1
         UNION ALL
         SELECT 'ivf_nprobe2' AS method, query_id, neighbor_id FROM ivf2
+    ),
+    agg AS (
+        SELECT m.method, m.query_id,
+               CAST(count(*) AS BIGINT) AS n_returned,
+               CAST(count(e.neighbor_id) AS BIGINT) AS n_found
+        FROM m LEFT JOIN exact_tk e
+          ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
+        GROUP BY m.method, m.query_id
+    ),
+    qm AS (
+        SELECT mm.method, q.query_id
+        FROM (SELECT DISTINCT query_id FROM exact_tk) q
+        CROSS JOIN (
+            SELECT 'ivf_nprobe1' AS method UNION ALL SELECT 'ivf_nprobe2'
+        ) mm
     )
-    SELECT m.method, m.query_id,
-           CAST(count(*) AS BIGINT) AS n_returned,
-           CAST(count(e.neighbor_id) AS BIGINT) AS n_found,
+    SELECT qm.method, qm.query_id,
+           coalesce(agg.n_returned, CAST(0 AS BIGINT)) AS n_returned,
+           coalesce(agg.n_found, CAST(0 AS BIGINT)) AS n_found,
            {_TOP_K} AS n_truth
-    FROM m LEFT JOIN exact_tk e
-      ON e.query_id = m.query_id AND e.neighbor_id = m.neighbor_id
-    GROUP BY m.method, m.query_id
+    FROM qm LEFT JOIN agg
+      ON agg.method = qm.method AND agg.query_id = qm.query_id
     """
 
 
@@ -1778,7 +1784,7 @@ def _semantic_e_sql(d: str) -> str:
     """
 
 
-def sql_dedup_semantic(d: str, e_source: str | None = None) -> str:
+def sql_dedup_semantic(d: str) -> str:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster the embedding space coarsely, then
     look for near-duplicate pairs ONLY within a cluster, and drop
@@ -1801,7 +1807,7 @@ def sql_dedup_semantic(d: str, e_source: str | None = None) -> str:
     Output: every vector with its cell and kept flag (kept = 0 iff a
     smaller-id vector in the same cell clears the threshold)."""
     dot = pt.int_dot("a.q", "b.q", d)
-    e_body = _semantic_e_sql(d) if e_source is None else f"SELECT * FROM {e_source}"
+    e_body = _semantic_e_sql(d)
     return f"""
     WITH e AS ({e_body}),
     pairs AS (
@@ -4236,7 +4242,16 @@ def _pack_sequences_frame(
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    t = counts.withColumn("__bkt", F.expr(f"doc_id div {bucket_width}"))
+    from pyspark import StorageLevel
+
+    # persist BEFORE the phase-1 collect: the returned phase-3 frame
+    # re-reads the same counts, and for corpus_pack_bpe that input is
+    # a full-corpus mapInPandas BPE encode — unpersisted, the
+    # heaviest stage of the query runs twice (once for the bucket
+    # totals, once for the caller's action)
+    t = counts.withColumn("__bkt", F.expr(f"doc_id div {bucket_width}")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     totals = sorted(
         t.groupBy("__bkt").agg(F.sum("n_tokens").alias("bt")).collect(),
         key=lambda r: r["__bkt"],

@@ -63,6 +63,8 @@ def main():
     json_path = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv):
+            raise SystemExit("usage: --json <output-path>")
         json_path = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     args = [a for a in argv if a != "--vanilla"]
@@ -93,6 +95,11 @@ def main():
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
             srows = [tuple(r) for r in sdf.collect()]
+            # several operator overrides persist shared projections
+            # and have no post-action unpersist hook; drop them here
+            # so a 130+-query single-session run doesn't accumulate
+            # MEMORY_AND_DISK blocks and evict later queries' caches
+            spark.catalog.clearCache()
         except Exception as e:
             failures.append(name)
             receipt[name] = {"status": "spark_error", "err": str(e)[:200]}

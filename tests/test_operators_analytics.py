@@ -542,7 +542,9 @@ def test_star_edges_equal_clique_pairs_for_clusters(spark, docs):
         minhash_star_edges,
     )
 
-    small = docs.limit(200)
+    # pin the subset: LIMIT without ORDER BY may pick different rows
+    # per job execution, and star/clique run as independent jobs
+    small = docs.orderBy("doc_id").limit(200).cache()
     via_star = dedup_clusters(small, minhash_star_edges(small))
     via_clique = dedup_clusters(small, minhash_candidate_pairs(small))
     assert via_star.exceptAll(via_clique).count() == 0
