@@ -3664,6 +3664,112 @@ def _oracle_text_dedup_spans_sa(d: str) -> str:
     """
 
 
+_REPEAT_MASS_LS = (16, 32, 64, 128)
+
+
+def text_repeat_mass_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc REPEAT-MASS histogram: how many corpus tokens sit
+    inside cross-document duplicated runs of length >= L, for L in
+    16/32/64/128 — the curation dial that says how aggressive span
+    dedup would be BEFORE running it (the length profile of
+    boilerplate mass). ONE suffix-array + LCP construction per shard;
+    every threshold is read off the same LCP array (the
+    raise-the-threshold-for-free property of the SA path — a k-gram
+    formulation would materialize a fresh L-gram table per
+    threshold). Same 8-shard layout and dup semantics as
+    text_dedup_spans_sa."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id", F.lower(F.col("text")).alias("text")
+    )
+
+    def per_shard(pdf: pd.DataFrame) -> pd.DataFrame:
+        from .kernels.suffix import (
+            build_corpus,
+            cross_doc_dup_starts,
+            keep_masks,
+            lcp_array,
+            suffix_array,
+        )
+
+        toks = [t.split(" ") if isinstance(t, str) else [] for t in pdf["text"]]
+        seq, doc_of, pos_of = build_corpus(toks)
+        sa = suffix_array(seq)
+        lcp = lcp_array(seq, sa)
+        total = int(sum(len(d) for d in toks))
+        rows = []
+        for L in _REPEAT_MASS_LS:
+            starts = cross_doc_dup_starts(seq, doc_of, L, sa=sa, lcp=lcp)
+            masks = keep_masks(starts, doc_of, pos_of, [len(d) for d in toks], L)
+            covered = int(sum(int((~m).sum()) for m in masks))
+            rows.append({"min_len": L, "covered_tokens": covered, "total_tokens": total})
+        return pd.DataFrame(rows)
+
+    shards = docs.withColumn("__shard", F.pmod(F.col("doc_id"), F.lit(8)))
+    per = shards.groupBy("__shard").applyInPandas(
+        lambda key, pdf: per_shard(pdf),
+        schema="min_len bigint, covered_tokens bigint, total_tokens bigint",
+    )
+    return per.groupBy("min_len").agg(
+        F.sum("covered_tokens").alias("covered_tokens"),
+        F.sum("total_tokens").alias("total_tokens"),
+    )
+
+
+def _oracle_text_repeat_mass(d: str) -> str:
+    """Per-L t-gram-equivalent formulation (exact gram strings,
+    grouped per shard like the operator): covered mass at threshold
+    L = sum of merged [s, s+L) cover-range lengths — merged ranges
+    are disjoint, so their lengths sum without an explode."""
+    toks = pt.tokens("text", d)
+    ctes, selects = [], []
+    for L in _REPEAT_MASS_LS:
+        gram = f"list_aggregate(list_slice(w, i, i + {L - 1}), 'string_agg', ' ')"
+        starts = (
+            f"CASE WHEN len(w) >= {L} THEN list_transform(generate_series(1, len(w) - {L - 1}), "
+            f"i -> {{'s': i, 'g': {gram}}}) "
+            f"ELSE [] END"
+        )
+        ctes.append(f"""
+    gpos{L} AS (
+        SELECT doc_id, doc_id % 8 AS shard, u.s AS s, u.g AS gh
+        FROM (
+            SELECT doc_id, unnest({starts}) AS u
+            FROM (SELECT doc_id, {toks} AS w FROM documents) t{L}
+        ) x{L}
+    ),
+    dup{L} AS (
+        SELECT shard, gh FROM gpos{L} GROUP BY shard, gh
+        HAVING count(DISTINCT doc_id) > 1
+    ),
+    ranges{L} AS (
+        SELECT doc_id, grp, min(s) AS rs, max(s) + {L - 1} AS re
+        FROM (
+            SELECT doc_id, s,
+                   sum(newgrp) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+            FROM (
+                SELECT g.doc_id, g.s,
+                       CASE WHEN g.s - lag(g.s) OVER (PARTITION BY g.doc_id ORDER BY g.s) <= {L}
+                            THEN 0 ELSE 1 END AS newgrp
+                FROM gpos{L} g
+                JOIN dup{L} dd ON dd.shard = g.shard AND dd.gh = g.gh
+            ) isl{L}
+        ) gi{L}
+        GROUP BY doc_id, grp
+    )"""
+        )
+        selects.append(
+            f"SELECT {L} AS min_len, "
+            f"coalesce((SELECT CAST(sum(re - rs + 1) AS BIGINT) FROM ranges{L}), 0) AS covered_tokens, "
+            f"(SELECT CAST(sum(len({toks})) AS BIGINT) FROM documents) AS total_tokens"
+        )
+    return "WITH " + ",".join(ctes) + "\n" + "\nUNION ALL\n".join(selects)
+
+
 def dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """INCREMENTAL corpus dedup (VERDICT r4 stretch item 10): treat
     docs with ``doc_id % 4 != 0`` as the settled snapshot and the
@@ -4625,6 +4731,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out["corpus_prep_dedup"] = corpus_prep_dedup_query
     out["dedup_incremental"] = dedup_incremental_query
     out["text_dedup_spans_sa"] = text_dedup_spans_sa_query
+    out["text_repeat_mass"] = text_repeat_mass_query
     out["text_bpe_merged"] = text_bpe_merged_query  # rows-only (no SQL oracle)
     out["text_bm25"] = text_bm25_query
     out["ann_pq_topk"] = ann_pq_topk_query
@@ -4700,6 +4807,7 @@ def oracle_sql() -> dict[str, str]:
     out["corpus_prep_dedup"] = _oracle_corpus_prep_dedup(DUCK)
     out["dedup_incremental"] = _oracle_dedup_incremental(DUCK)
     out["text_dedup_spans_sa"] = _oracle_text_dedup_spans_sa(DUCK)
+    out["text_repeat_mass"] = _oracle_text_repeat_mass(DUCK)
     out["extract_lines"] = _oracle_extract_lines(DUCK)
     out["extract_stats"] = _oracle_extract_stats(DUCK)
     out["events_session_window_native"] = _oracle_session_window(DUCK)
