@@ -80,3 +80,33 @@ def test_first_increment_dedups_within_batch(spark, tmp_path):
     assert r["qualified"] == 3 and r["admitted"] == 2
     urls = {r2["url"] for r2 in wh.read_docs(spark).select("url").collect()}
     assert urls == {"page://a", "page://b"}  # min-url keeps page://a
+
+
+def test_crash_mid_ingest_then_retry(spark, tmp_path):
+    """A crash AFTER the docs/artifact writes but BEFORE the lineage
+    commit leaves orphan directories; retrying the same increment id
+    must reprocess cleanly (overwrite the orphans) and commit once."""
+    wh = IncrementalCorpus(str(tmp_path / "wh3"))
+    wh.ingest(spark, _pages(spark, [("page://a", DOC_A)]), "inc1")
+
+    # simulate the crash state for inc2: docs + fps written, NO lineage
+    crashed = _pages(spark, [("page://b", DOC_B)])
+    from gluon_ocr_spark.operators.extract import extract_docs
+
+    partial = extract_docs(crashed).select("url", "text")
+    partial.write.parquet(os.path.join(wh.docs_dir, "increment=inc2"))
+    partial.selectExpr("md5(lower(text)) AS content_fp").write.parquet(
+        os.path.join(wh.fps_dir, "increment=inc2")
+    )
+    # invisible to readers pre-retry
+    assert {r["url"] for r in wh.read_docs(spark).select("url").collect()} == {"page://a"}
+
+    r = wh.ingest(spark, crashed, "inc2")
+    assert r["replayed"] is False and r["admitted"] == 1
+    assert {r2["url"] for r2 in wh.read_docs(spark).select("url").collect()} == {
+        "page://a",
+        "page://b",
+    }
+    # exactly one lineage row for inc2
+    lin = spark.read.parquet(wh.lineage_dir)
+    assert lin.where("increment_id = 'inc2'").count() == 1
