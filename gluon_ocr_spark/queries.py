@@ -864,6 +864,60 @@ def sql_text_inverted_postings(d: str) -> str:
     """
 
 
+def sql_dedup_threshold_sweep(d: str) -> str:
+    """Near-dup THRESHOLD dial receipt: for Jaccard thresholds
+    0.70 / 0.80 / 0.90, how many LSH candidate pairs verify and how
+    many distinct docs are touched — what a pipeline owner reads
+    before moving the drop_near_dups threshold (the prune's
+    aggressiveness curve, measured on the real corpus, not assumed).
+    ONE candidate generation + ONE exact intersect per pair; each
+    threshold is a pure integer comparison (100·inter >= pct·union)
+    over the same verified projection — no re-join per threshold."""
+    codes = pt.token_codes("text", d)
+    n_bands = pt.MINHASH_K // pt.BAND_ROWS
+    band_selects = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {band} AS band_id, {pt.band_key_expr('codes', band, d)} AS band_key FROM c"
+        for band in range(n_bands)
+    )
+    tset = pt.arr_distinct(pt.tokens("text", d), d)
+    inter = (
+        "size(array_intersect(a.ts, b.ts))" if d == SPARK else "len(list_intersect(a.ts, b.ts))"
+    )
+    na = pt.arr_size("a.ts", d)
+    nb = pt.arr_size("b.ts", d)
+    per_t = []
+    for pct in (70, 80, 90):
+        per_t.append(f"""
+    SELECT {pct} AS thresh_pct,
+           (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+           (SELECT CAST(count(*) AS BIGINT) FROM scored
+             WHERE 100 * inter >= {pct} * uni) AS n_verified_pairs,
+           (SELECT CAST(count(DISTINCT doc) AS BIGINT) FROM (
+               SELECT doc_a AS doc FROM scored WHERE 100 * inter >= {pct} * uni
+               UNION ALL
+               SELECT doc_b AS doc FROM scored WHERE 100 * inter >= {pct} * uni
+           ) u{pct}) AS n_docs_affected""")
+    return f"""
+    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents),
+    bands AS ({band_selects}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band_id = b.band_id AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+    ),
+    ts AS (SELECT doc_id, {tset} AS ts FROM documents),
+    scored AS (
+        SELECT p.doc_a, p.doc_b, {inter} AS inter,
+               {na} + {nb} - {inter} AS uni
+        FROM cand p
+        JOIN ts a ON a.doc_id = p.doc_a
+        JOIN ts b ON b.doc_id = p.doc_b
+    )
+    {" UNION ALL ".join(per_t)}
+    """
+
+
 def sql_dedup_lsh_recall(d: str) -> str:
     """MEASURE the MinHash-LSH candidate generator against exact
     ground truth — the receipt a production dedup pipeline keeps for
@@ -3177,6 +3231,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "text_dedup_spans": sql_text_dedup_spans,
     "corpus_pack_sequences": sql_corpus_pack_sequences,
     "dedup_lsh_recall": sql_dedup_lsh_recall,
+    "dedup_threshold_sweep": sql_dedup_threshold_sweep,
     "text_inverted_postings": sql_text_inverted_postings,
     "corpus_mix_allocation": sql_corpus_mix_allocation,
     "corpus_mix_unimax": sql_corpus_mix_unimax,
