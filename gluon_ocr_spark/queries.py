@@ -2691,6 +2691,54 @@ def _oracle_events_unpivot(d: str) -> str:
     return f"WITH wide AS ({base}) {arms}"
 
 
+def sql_events_anomaly_mad(d: str) -> str:
+    """Robust daily-volume anomaly detection per event type — the
+    median / median-absolute-deviation flag an ingestion monitor
+    runs (MAD is outlier-proof where mean/stddev are dragged by the
+    very spike being hunted). Integer-exact by construction: the
+    "median" is the LOWER median (row_number == (n+1) div 2 over the
+    count-ascending order, ties by day), MAD is the lower median of
+    |count − med|, and a day is anomalous iff |count − med| > 5·MAD
+    — all int64 comparisons, no percentile interpolation to diverge
+    between engines. Two tiny windows over the per-(type, day)
+    aggregate (dimension-sized at any corpus scale); the corpus-
+    sized work is the one count aggregate."""
+    idiv = "div" if d == SPARK else "//"
+    day = "CAST(date_trunc('day', ts) AS DATE)"
+    return f"""
+    WITH daily AS (
+        SELECT event_type, {day} AS day, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY event_type, {day}
+    ),
+    med AS (
+        SELECT event_type, n AS med_n
+        FROM (
+            SELECT event_type, n,
+                   row_number() OVER (PARTITION BY event_type ORDER BY n, day) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM daily
+        ) x WHERE rk = (cnt + 1) {idiv} 2
+    ),
+    dev AS (
+        SELECT daily.event_type, daily.day, daily.n, med.med_n,
+               abs(daily.n - med.med_n) AS adev
+        FROM daily JOIN med ON med.event_type = daily.event_type
+    ),
+    mad AS (
+        SELECT event_type, adev AS mad_n
+        FROM (
+            SELECT event_type, adev,
+                   row_number() OVER (PARTITION BY event_type ORDER BY adev, day) AS rk,
+                   count(*) OVER (PARTITION BY event_type) AS cnt
+            FROM dev
+        ) y WHERE rk = (cnt + 1) {idiv} 2
+    )
+    SELECT dev.event_type, dev.day, dev.n, dev.med_n, mad.mad_n,
+           CASE WHEN dev.adev > 5 * mad.mad_n THEN 1 ELSE 0 END AS is_anomaly
+    FROM dev JOIN mad ON mad.event_type = dev.event_type
+    """
+
+
 def sql_events_quantiles(d: str) -> str:
     """Exact interpolated quantiles + exact distinct (the bench twin of
     approx_count_distinct / percentile_approx, which are
@@ -3248,6 +3296,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "events_retention": sql_events_retention,
     "events_funnel": sql_events_funnel,
     "events_quantiles": sql_events_quantiles,
+    "events_anomaly_mad": sql_events_anomaly_mad,
     "events_hourly": sql_events_hourly,
     "events_user_daily": sql_events_user_daily,
     "events_daily_spikes": sql_events_daily_spikes,
