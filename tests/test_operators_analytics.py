@@ -609,3 +609,47 @@ def test_unimax_waterfilling_closed_form(spark):
     finally:
         spark.catalog.dropTempView("documents")
     assert got == {"aa": (1, 10), "bb": (1, 20), "cc": (0, 87)}
+
+
+def test_threshold_sweep_monotone(spark, sf_dir):
+    """dedup_threshold_sweep: verified pairs and affected docs are
+    non-increasing in the threshold; candidates are constant."""
+    from gluon_ocr_spark.queries import register_views, sql_dedup_threshold_sweep
+
+    register_views(spark, sf_dir)
+    rows = sorted(
+        spark.sql(sql_dedup_threshold_sweep("spark")).collect(),
+        key=lambda r: r.thresh_pct,
+    )
+    assert [r.thresh_pct for r in rows] == [70, 80, 90]
+    assert len({r.n_candidate_pairs for r in rows}) == 1
+    assert rows[0].n_verified_pairs >= rows[1].n_verified_pairs >= rows[2].n_verified_pairs
+    assert rows[0].n_docs_affected >= rows[1].n_docs_affected >= rows[2].n_docs_affected
+    for r in rows:
+        assert r.n_verified_pairs <= r.n_candidate_pairs
+
+
+def test_anomaly_mad_flags_planted_spike(spark):
+    """events_anomaly_mad: a 20x volume spike on an otherwise-steady
+    daily series is flagged; steady days are not."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    from gluon_ocr_spark.queries import sql_events_anomaly_mad
+
+    rows = []
+    base = dt.datetime(2024, 5, 1)
+    for day in range(14):
+        n = 200 if day == 7 else 10 + (day % 3)  # spike on day 7
+        for i in range(n):
+            rows.append(Row(ts=base + dt.timedelta(days=day, seconds=i), event_type="click"))
+    spark.createDataFrame(rows).createOrReplaceTempView("events")
+    try:
+        out = {r.day.isoformat(): r for r in spark.sql(sql_events_anomaly_mad("spark")).collect()}
+    finally:
+        spark.catalog.dropTempView("events")
+    assert out["2024-05-08"].is_anomaly == 1
+    steady = [r for k, r in out.items() if k != "2024-05-08"]
+    assert all(r.is_anomaly == 0 for r in steady)
+    assert all(r.mad_n >= 0 and r.med_n > 0 for r in out.values())
