@@ -1879,6 +1879,49 @@ def sql_dedup_semantic(d: str) -> str:
     """
 
 
+def sql_emb_cell_confusion(d: str) -> str:
+    """Cluster-purity / label-confusion receipt over the embedding
+    space: assign every vector to its coarse cell (the same 32
+    deterministic centers and exact-int64 L2 assignment the SemDeDup
+    path uses), classify each vector by the MAJORITY label of its
+    cell with the vector's own vote removed (leave-one-out; ties →
+    lowest label), and emit the (true_label, pred_label, n) confusion
+    matrix — the "do my clusters respect my labels" receipt an
+    embedding pipeline checks before trusting cell-local operations
+    (SemDeDup, IVF probing) to respect class structure. Every step
+    is integer counting — no mean/cosine division to diverge between
+    engines; a vector alone in its cell predicts its own label (its
+    zero-adjusted row is the only candidate)."""
+    e_body = _semantic_e_sql(d)
+    return f"""
+    WITH e AS ({e_body}),
+    lab AS (
+        SELECT e.vec_id, emb.label, e.cell
+        FROM e JOIN embeddings emb ON emb.vec_id = e.vec_id
+    ),
+    cellcnt AS (
+        SELECT cell, label, CAST(count(*) AS BIGINT) AS n
+        FROM lab GROUP BY cell, label
+    ),
+    scored AS (
+        SELECT v.vec_id, v.label AS true_label, c.label AS cand_label,
+               c.n - CASE WHEN c.label = v.label THEN 1 ELSE 0 END AS adj
+        FROM lab v JOIN cellcnt c ON c.cell = v.cell
+    ),
+    pred AS (
+        SELECT vec_id, true_label, cand_label AS pred_label
+        FROM (
+            SELECT *, row_number() OVER (
+                PARTITION BY vec_id ORDER BY adj DESC, cand_label
+            ) AS rk
+            FROM scored
+        ) p WHERE rk = 1
+    )
+    SELECT true_label, pred_label, CAST(count(*) AS BIGINT) AS n_vecs
+    FROM pred GROUP BY true_label, pred_label
+    """
+
+
 def sql_emb_label_centroids(d: str) -> str:
     """Per-label embedding centroid sums — the class-prototype /
     cluster-seed computation of an embedding pipeline (centroids for
@@ -3255,6 +3298,7 @@ SQL_QUERIES: dict[str, Callable[[str], str]] = {
     "ann_topk": sql_ann_topk,
     "ann_filtered_topk": sql_ann_filtered_topk,
     "emb_label_centroids": sql_emb_label_centroids,
+    "emb_cell_confusion": sql_emb_cell_confusion,
     "ann_lsh_buckets": sql_ann_lsh_buckets,
     "ann_lsh_topk": sql_ann_lsh_topk,
     "ann_ivf_topk": sql_ann_ivf_topk,
