@@ -107,18 +107,38 @@ def minhash_bands(
     BEFORE the 16 signature expressions. Without the boundary,
     Catalyst's CollapseProject inlines the md5 token pass into every
     signature lambda and the hash pass runs 16× per row — measured
-    6.7× slower at sf0.1 (6.7 s → 1.0 s for the band table)."""
+    6.7× slower at sf0.1 (6.7 s → 1.0 s for the band table).
+
+    The signature vector is computed in a PROJECT below the band
+    explode, and the generator is a constant ``sequence`` — never
+    ``inline(array(<sig exprs>))``: an expensive expression in the
+    generator position is re-evaluated per GENERATED row (Generate
+    carries no projection boundary; measured 12× on the analogous
+    k-gram explode), while a pass-through child column is computed
+    once per input row."""
     codes = df.select(F.col(id_col), F.expr(pt.token_codes(text_col, SPARK)).alias("codes"))
     if materialize_codes:
         from pyspark import StorageLevel
 
         codes = codes.persist(StorageLevel.MEMORY_AND_DISK)
     n_bands = pt.MINHASH_K // pt.BAND_ROWS
-    structs = ", ".join(
-        f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, SPARK)})"
-        for band in range(n_bands)
+    sigs = ", ".join(pt.minhash_sig_exprs("codes", SPARK))
+    sigv = codes.select(F.col(id_col), F.expr(f"array({sigs})").alias("sigv"))
+    return (
+        sigv.select(
+            F.col(id_col),
+            "sigv",
+            F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band_id"),
+        )
+        .select(
+            F.col(id_col),
+            "band_id",
+            F.expr(
+                f"concat_ws('-', transform(slice(sigv, band_id * {pt.BAND_ROWS} + 1, "
+                f"{pt.BAND_ROWS}), x -> cast(x as string)))"
+            ).alias("band_key"),
+        )
     )
-    return codes.selectExpr(id_col, f"inline(array({structs}))")
 
 
 def minhash_candidate_pairs(
@@ -521,12 +541,25 @@ def incremental_dedup(
     Scale shape at 10^12 base docs + a daily batch: the base is
     touched only through its two stored artifacts (fingerprints,
     bands — :func:`snapshot_artifacts`) plus a candidate-only text
-    fetch in stage 3; nothing re-scans or re-hashes the snapshot.
-    The batch side of every join is small — broadcastable when the
-    increment fits, shuffle-on-key otherwise — and stage 3's verify
-    joins the (tiny) candidate list to the corpus by id, hitting the
-    snapshot's primary-key layout. Returns the admitted batch rows
-    with their original columns."""
+    fetch in stage 3 (the snapshot is SEMI-JOINED down to the docs
+    that actually collided in a band bucket before any tokenization —
+    re-tokenizing the settled corpus per ingest would break the
+    10^12-doc contract). The batch side of every join is small —
+    broadcastable when the increment fits, shuffle-on-key otherwise —
+    and stage 3's verify joins the (tiny) candidate list to the
+    corpus by id, hitting the snapshot's primary-key layout. The
+    batch band table is computed ONCE and persisted: stage 4's
+    within-batch candidates reuse it filtered to stage-3 survivors
+    (banding is per-row, so the filtered rows are identical to
+    re-banding the survivors). Returns the admitted batch rows with
+    their original columns.
+
+    Persist/cache note: the intermediate frames persisted here (e2,
+    the batch band table, and the frames inside the near-dup prune)
+    stay registered in the session's cache until the caller clears
+    them — call ``spark.catalog.clearCache()`` (or unpersist) after
+    consuming the result when invoking this repeatedly in one
+    session."""
     from pyspark import StorageLevel
     from pyspark.sql import Window
 
@@ -547,7 +580,7 @@ def incremental_dedup(
         .drop("__rn", "__fp")
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    batch_bands = minhash_bands(e2, id_col, text_col)
+    batch_bands = minhash_bands(e2, id_col, text_col).persist(StorageLevel.MEMORY_AND_DISK)
     cand = (
         batch_bands.alias("nb")
         .join(
@@ -562,7 +595,13 @@ def incremental_dedup(
     )
     ts_expr = F.expr(pt.arr_distinct(pt.tokens(text_col, SPARK), SPARK))
     ts_batch = e2.select(F.col(id_col).alias("doc_a"), ts_expr.alias("ts_a"))
-    ts_base = base.select(F.col(id_col).alias("doc_b"), ts_expr.alias("ts_b"))
+    # candidate-only snapshot fetch: tokenize ONLY the base docs some
+    # batch doc collided with (a semi-join by id against the tiny
+    # candidate list), never the whole settled corpus
+    base_cand = base.join(
+        cand.select(F.col("doc_b").alias(id_col)).distinct(), id_col, "semi"
+    )
+    ts_base = base_cand.select(F.col(id_col).alias("doc_b"), ts_expr.alias("ts_b"))
     hit = (
         cand.join(ts_batch, "doc_a")
         .join(ts_base, "doc_b")
@@ -575,12 +614,45 @@ def incremental_dedup(
         .distinct()
     )
     e3 = e2.join(hit.withColumnRenamed("doc_a", id_col), id_col, "left_anti")
-    # materialize before the within-batch prune: drop_near_dups reads
-    # this frame three times (candidate gen / verify / final keep) and
-    # the CC loop runs several actions — without a boundary each one
-    # re-executes the stage-3 band join + Jaccard verify (measured
-    # 62 s vs 27 s at sf0.1 in a warm battery session). Same pattern
-    # as prepare_corpus' pre-prune snapshot; on a cluster prefer
-    # reliable checkpoint()/an intermediate table.
+    # materialize before the within-batch prune: the pruning stages
+    # below read this frame three times (verify both sides / final
+    # keep) and the CC loop runs several actions — without a boundary
+    # each one re-executes the stage-3 band join + Jaccard verify
+    # (measured 62 s vs 27 s at sf0.1 in a warm battery session).
+    # Same pattern as prepare_corpus' pre-prune snapshot; on a
+    # cluster prefer reliable checkpoint()/an intermediate table.
     e3 = e3.localCheckpoint(eager=True)
-    return drop_near_dups(e3, id_col, text_col, threshold, cc_workdir)
+    # stage 4 (near-in-batch) inline instead of drop_near_dups so the
+    # candidate pairs come from the ALREADY-COMPUTED batch band table
+    # filtered to stage-3 survivors — row-identical to re-banding e3,
+    # without a second md5/signature pass over the batch
+    bands3 = batch_bands.join(e3.select(id_col), id_col, "semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a3, b3 = bands3.alias("a"), bands3.alias("b")
+    cand3 = (
+        a3.join(
+            b3,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b"))
+        .distinct()
+    )
+    pairs = jaccard_verify(e3, cand3, id_col, text_col, threshold).select("doc_a", "doc_b")
+    if cc_workdir is not None:
+        labels = connected_components_resumable(e3.sparkSession, pairs, cc_workdir)
+    else:
+        labels = connected_components(pairs)
+    return (
+        e3.join(
+            labels.withColumnRenamed("node", id_col).withColumnRenamed(
+                "cluster_id", "__cluster"
+            ),
+            id_col,
+            "left",
+        )
+        .where(F.col("__cluster").isNull() | (F.col(id_col) == F.col("__cluster")))
+        .drop("__cluster")
+    )

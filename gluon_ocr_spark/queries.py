@@ -23,7 +23,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from .functions import portable as pt
 from .functions.portable import DUCK, SPARK
@@ -40,6 +40,57 @@ TABLES = (
     "documents",
     "embeddings",
 )
+
+
+def _spread(df: DataFrame, path: str, *keys: str) -> DataFrame:
+    """Scale-adaptive input spreading (optimization guide §2.5 "input
+    skew": one huge unsplittable file → repartition immediately after
+    the read). The local test parquet is written as a single row
+    group, so a Parquet scan yields ONE non-empty task and every
+    scan-side map phase — the md5 token pass, Arrow extraction,
+    broadcast-join pair generation, partial aggregation — runs
+    single-threaded regardless of core count (measured 7.4 s → 0.9 s
+    for dedup_minhash_pairs at sf0.1/local[32]).
+
+    Spread condition: the input is too small to fill the cluster —
+    total scan bytes below ``defaultParallelism × 32 MB`` (i.e. the
+    scan cannot yield one healthy split per core). Such an input is
+    by definition cheap to reshuffle anywhere; a real 100 TB table
+    scans as thousands of splits and is left untouched. The decision
+    reads file metadata only (no job, no RDD conversion) and the
+    partition count derives from the cluster (``defaultParallelism``),
+    never a local constant. Hash-repartition on the given keys keeps
+    the assignment deterministic (no sort-before-repartition pass)
+    and lets a downstream join/window keyed the same way reuse the
+    exchange."""
+    import os
+
+    sc = df.sparkSession.sparkContext
+    p = sc.defaultParallelism
+    try:
+        if os.path.isdir(path):
+            nbytes = sum(
+                os.path.getsize(os.path.join(path, f))
+                for f in os.listdir(path)
+                if not f.startswith(("_", "."))
+            )
+        else:
+            nbytes = os.path.getsize(path)
+    except OSError:
+        return df  # non-local path (object store): real deployment, no spread
+    if nbytes >= p * 32 * 1024 * 1024:
+        return df
+    if keys:
+        return df.repartition(p, *[F.col(k) for k in keys])
+    return df.repartition(p)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents scan, spread (single shared builder so every
+    override query produces the same canonicalized plan — persisted
+    projections derived from it cache-substitute across the battery)."""
+    path = f"{sf_dir}/documents.parquet"
+    return _spread(spark.read.parquet(path), path, "doc_id")
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:
@@ -3360,7 +3411,7 @@ def extract_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.extract import extract_docs
     from .sources.pages import wrap_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pages = wrap_documents(docs)
     extracted = extract_docs(pages)
     return extracted.select(
@@ -3379,7 +3430,7 @@ def extract_lines_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.extract import extract_docs, docs_to_lines
     from .sources.pages import wrap_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     lines = docs_to_lines(extract_docs(wrap_documents(docs)))
     return lines.select(
         F.split_part(F.col("url"), F.lit("doc://"), F.lit(-1)).cast("bigint").alias("doc_id"),
@@ -3401,7 +3452,7 @@ def extract_stats_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import with_token_stats
     from .sources.pages import wrap_documents
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     extracted = extract_docs(wrap_documents(docs))
     stats = with_token_stats(extracted)
     return stats.select(
@@ -3428,7 +3479,7 @@ def extract_pdf_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.extract import extract_docs
     from .sources.pages import wrap_documents_pdf
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pages = wrap_documents_pdf(docs)
     extracted = extract_docs(pages)
     return extracted.select(
@@ -3456,7 +3507,7 @@ def corpus_prep_roundtrip_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import with_quality, with_repetition, with_token_stats
     from .sources.pages import wrap_documents, wrap_documents_pdf
 
-    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_tbl = _docs(spark, sf_dir)
     even = wrap_documents(docs_tbl.where(F.col("doc_id") % 2 == 0))
     odd = wrap_documents_pdf(docs_tbl.where(F.col("doc_id") % 2 == 1))
     pages = even.unionByName(odd)
@@ -3561,7 +3612,7 @@ def text_bpe_merged_query(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text")
+    docs = _docs(spark, sf_dir).select("doc_id", "text")
     return docs.mapInPandas(
         gen, schema="doc_id bigint, n_pre_tokens bigint, n_tokens bigint, ids_digest bigint"
     )
@@ -3586,7 +3637,7 @@ def corpus_prep_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import with_quality, with_repetition, with_token_stats
     from .sources.pages import wrap_documents, wrap_documents_pdf
 
-    docs_tbl = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs_tbl = _docs(spark, sf_dir)
     even = wrap_documents(docs_tbl.where(F.col("doc_id") % 2 == 0))
     odd = wrap_documents_pdf(docs_tbl.where(F.col("doc_id") % 2 == 1))
     pages = even.unionByName(odd)
@@ -3726,7 +3777,7 @@ def text_dedup_spans_sa_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.textstats import remove_dup_spans_sa
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _docs(spark, sf_dir).select(
         "doc_id", F.lower(F.col("text")).alias("text")
     )
     out = remove_dup_spans_sa(
@@ -3830,7 +3881,7 @@ def text_repeat_mass_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+    docs = _docs(spark, sf_dir).select(
         "doc_id", F.lower(F.col("text")).alias("text")
     )
 
@@ -3934,7 +3985,7 @@ def dedup_incremental_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.dedup import incremental_dedup, snapshot_artifacts
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     base = docs.where(F.col("doc_id") % 4 != 0)
     batch = docs.where(F.col("doc_id") % 4 == 0)
     fps, bands = snapshot_artifacts(base)
@@ -4076,7 +4127,7 @@ def dedup_minhash_pairs_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows as the SQL template/oracle."""
     from .operators.dedup import minhash_candidate_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return minhash_candidate_pairs(docs, materialize=True)
 
 
@@ -4091,7 +4142,7 @@ def _persisted_codes(spark: SparkSession, sf_dir: str, codes_expr: str, extra: t
     from pyspark import StorageLevel
     from pyspark.sql import functions as F
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return docs.select(
         "doc_id", *extra, F.expr(codes_expr).alias("codes")
     ).persist(StorageLevel.MEMORY_AND_DISK)
@@ -4114,7 +4165,7 @@ def dedup_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Operator form of sql_dedup_simhash (same boundary)."""
     from .operators.dedup import simhash_groups
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return simhash_groups(docs)
 
 
@@ -4123,7 +4174,7 @@ def dedup_minhash_bands_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     before the 16 signature expressions)."""
     from .operators.dedup import minhash_bands
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return minhash_bands(docs)
 
 
@@ -4137,11 +4188,25 @@ def dedup_shingle_minhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     c = _persisted_codes(spark, sf_dir, pt.shingle_codes("text", SPARK))
     n_bands = pt.MINHASH_K // pt.BAND_ROWS
-    structs = ", ".join(
-        f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, SPARK)})"
-        for band in range(n_bands)
+    # sig vector below the explode, constant-sequence generator (an
+    # expensive generator expression re-evaluates per generated row —
+    # same fix as operators.dedup.minhash_bands)
+    sigs = ", ".join(pt.minhash_sig_exprs("codes", SPARK))
+    bands = (
+        c.select("doc_id", F.expr(f"array({sigs})").alias("sigv"))
+        .select(
+            "doc_id", "sigv",
+            F.explode(F.expr(f"sequence(0, {n_bands - 1})")).alias("band_id"),
+        )
+        .select(
+            "doc_id",
+            "band_id",
+            F.expr(
+                f"concat_ws('-', transform(slice(sigv, band_id * {pt.BAND_ROWS} + 1, "
+                f"{pt.BAND_ROWS}), x -> cast(x as string)))"
+            ).alias("band_key"),
+        )
     )
-    bands = c.selectExpr("doc_id", f"inline(array({structs}))")
     s = c.selectExpr("doc_id", f"{pt.arr_distinct('codes', SPARK)} AS sh").persist(
         StorageLevel.MEMORY_AND_DISK
     )
@@ -4178,13 +4243,19 @@ def _winnow_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     it re-runs the md5 pass per window — quadratic in doc length)."""
     c = _persisted_codes(spark, sf_dir, pt.token_codes("text", SPARK))
     w = 4
-    windows = (
-        f"transform(sequence(1, greatest(size(codes) - {w - 1}, 1)), "
-        f"i -> array_min(slice(codes, i, {w})))"
+    # cheap-sequence generator; the window-min computed above the
+    # explode (an expensive generator expression re-evaluates per
+    # generated row — same fix as operators.dedup.minhash_bands)
+    return (
+        c.select(
+            "doc_id", "codes",
+            F.explode(
+                F.expr(f"sequence(1, greatest(size(codes) - {w - 1}, 1))")
+            ).alias("i"),
+        )
+        .selectExpr("doc_id", f"array_min(slice(codes, i, {w})) AS fingerprint")
+        .distinct()
     )
-    return c.selectExpr("doc_id", f"{windows} AS fps").selectExpr(
-        "doc_id", "explode(fps) AS fingerprint"
-    ).distinct()
 
 
 def text_winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -4255,7 +4326,7 @@ def dedup_clusters_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     template bucket)."""
     from .operators.dedup import dedup_clusters, minhash_star_edges
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return dedup_clusters(docs, minhash_star_edges(docs))
 
 
@@ -4302,7 +4373,7 @@ def dedup_clusters_simhash_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cluster-resolution stage is generator-agnostic."""
     from .operators.dedup import dedup_clusters, simhash_hamming_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pairs = simhash_hamming_pairs(docs, materialize=True)
     return dedup_clusters(docs, pairs)
 
@@ -4382,7 +4453,7 @@ def dedup_clusters_winnow_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .operators.dedup import dedup_clusters
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     pairs = text_winnow_pairs_query(spark, sf_dir).where(F.col("containment") >= 0.5)
     return dedup_clusters(docs, pairs)
 
@@ -4420,7 +4491,7 @@ def dedup_simhash_hamming_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     SQL template/oracle."""
     from .operators.dedup import simhash_hamming_pairs
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     return simhash_hamming_pairs(docs, materialize=True)
 
 
@@ -4601,19 +4672,19 @@ def text_dedup_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     k = 8
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", F.expr(pt.tokens("text", SPARK)).alias("w"))
-    hexpr = pt.hex15(f"concat_ws(' ', slice(w, i, {k}))", SPARK)
+    # gram positions via a CHEAP generator (sequence) with the md5
+    # gram hash computed in the projection ABOVE the explode — an
+    # expensive expression in the generator position is re-evaluated
+    # per generated row (measured 3.6 s vs 0.3 s for this exact pass
+    # at sf0.1/local[32]). Docs shorter than k grams are dropped by
+    # the where() exactly like the former CASE → array() → explode.
+    hexpr = pt.hex15(f"concat_ws(' ', slice(w, s, {k}))", SPARK)
     gpos = (
-        toks.select(
-            "doc_id",
-            F.expr(
-                f"CASE WHEN size(w) >= {k} THEN transform(sequence(1, size(w) - {k - 1}), "
-                f"i -> struct(i AS s, {hexpr} % {pt.P} AS g)) ELSE array() END"
-            ).alias("gs"),
-        )
-        .select("doc_id", F.explode("gs").alias("sg"))
-        .select("doc_id", F.col("sg.s").alias("s"), F.col("sg.g").alias("gh"))
+        toks.where(F.expr(f"size(w) >= {k}"))
+        .select("doc_id", "w", F.explode(F.expr(f"sequence(1, size(w) - {k - 1})")).alias("s"))
+        .select("doc_id", "s", F.expr(f"{hexpr} % {pt.P}").alias("gh"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
@@ -4622,33 +4693,50 @@ def text_dedup_spans_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nd") > 1)
         .select("gh")
     )
-    wlag = Window.partitionBy("doc_id").orderBy("s")
-    wgrp = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranges = (
+    # Per-doc interval merge WITHOUT the window + covered-position
+    # explode + anti-join + collect_list rebuild of the round-5 form
+    # (guide §2.3/§2.4: that chain exploded every covered token
+    # position and re-shuffled ~all token rows twice just to decide
+    # which positions survive). Instead: one groupBy collects each
+    # doc's sorted seed starts (bounded by the doc's gram count), a
+    # fold merges seeds s_i into ranges exactly like the former
+    # lag/cumsum window (same rule: a seed extends the current range
+    # iff s - prev_seed <= k; range end = last seed + k - 1), and the
+    # kept tokens fall out of one higher-order filter over the
+    # already-held token array — no token row ever leaves its doc.
+    seeds = (
         gpos.join(dup, "gh")
-        .select("doc_id", "s")
-        .withColumn(
-            "newgrp", F.when(F.col("s") - F.lag("s").over(wlag) <= k, 0).otherwise(1)
-        )
-        .withColumn("grp", F.sum("newgrp").over(wgrp))
-        .groupBy("doc_id", "grp")
-        .agg(F.min("s").alias("rs"), (F.max("s") + (k - 1)).alias("re"))
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
     )
-    covered = ranges.select("doc_id", F.explode(F.expr("sequence(rs, re)")).alias("idx"))
-    tokpos = toks.select(
-        "doc_id", F.posexplode("w").alias("idx0", "tok")
-    ).select("doc_id", (F.col("idx0") + 1).alias("idx"), "tok")
-    kept = tokpos.join(covered, ["doc_id", "idx"], "left_anti")
-    rebuilt = kept.groupBy("doc_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok), ' ')"
-        ).alias("cleaned"),
-        F.count("*").alias("n_kept"),
-    )
-    return toks.join(rebuilt, "doc_id", "left").select(
+    merged = seeds.select(
         "doc_id",
-        F.coalesce("cleaned", F.lit("")).alias("cleaned_text"),
-        F.coalesce("n_kept", F.lit(0)).cast("bigint").alias("n_kept_tokens"),
+        F.expr(
+            f"""aggregate(
+                 ss,
+                 named_struct('rs', cast(array() as array<int>),
+                              'ls', cast(array() as array<int>)),
+                 (acc, s) -> if(size(acc.ls) = 0 OR s - element_at(acc.ls, -1) > {k},
+                     named_struct('rs', concat(acc.rs, array(s)),
+                                  'ls', concat(acc.ls, array(s))),
+                     named_struct('rs', acc.rs,
+                                  'ls', concat(slice(acc.ls, 1, size(acc.ls) - 1), array(s)))),
+                 acc -> zip_with(acc.rs, acc.ls,
+                                 (a, b) -> named_struct('rs', a, 're', b + {k - 1}))
+               )"""
+        ).alias("ranges"),
+    )
+    kept = toks.join(merged, "doc_id", "left").select(
+        "doc_id",
+        F.expr(
+            "filter(w, (tok, i) -> ranges IS NULL OR "
+            "NOT exists(ranges, r -> i + 1 >= r.rs AND i + 1 <= r.re))"
+        ).alias("kept"),
+    )
+    return kept.select(
+        "doc_id",
+        F.expr("array_join(kept, ' ')").alias("cleaned_text"),
+        F.expr("size(kept)").cast("bigint").alias("n_kept_tokens"),
     )
 
 
@@ -4682,7 +4770,7 @@ def dedup_token_jaccard_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     ts = pt.arr_distinct(pt.tokens("text", SPARK), SPARK)
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     s = docs.select(
         "doc_id", "lang", F.expr(ts).alias("ts")
     ).withColumn("na", F.expr("size(ts)")).persist(StorageLevel.MEMORY_AND_DISK)
@@ -4761,7 +4849,7 @@ def _bpe_doc_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .kernels.bpe import build_ranks, build_vocab, encode_ids
     from .operators.textstats import train_bpe_on_corpus
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = _docs(spark, sf_dir)
     merges = train_bpe_on_corpus(docs, n_merges=50)
     bc = spark.sparkContext.broadcast(merges)
 
