@@ -251,6 +251,19 @@ def _edge_checksum(e: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _is_star_forest(e: DataFrame) -> bool:
+    """True iff the canonical (u > v) edge set is a star forest: no
+    parent ``v`` is itself a child ``u`` of another edge. This is
+    exactly the fixed point of the large-star/small-star iteration,
+    so testing it converges ONE ROUND EARLIER than checksum-equality
+    (which must run a full extra round to observe no change) while
+    returning the identical final edge set. One semi-join + isEmpty —
+    no driver-side edge collection."""
+    return e.alias("a").join(
+        e.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi"
+    ).isEmpty()
+
+
 def _star_round(edges: DataFrame) -> DataFrame:
     """One large-star + small-star round (Kiveris et al.); input and
     output are canonical u>v edge sets."""
@@ -307,25 +320,26 @@ def connected_components(
       lineage (iterative plans otherwise re-plan the whole history
       each action; on a real cluster prefer reliable
       ``checkpoint()`` on HDFS/object storage so executor loss
-      cannot lose iteration state).
-    * Convergence = (count, xor-ish checksum) of the canonical edge
-      set stable — two cheap aggregates per round, no driver-side
-      edge collection; rounds are O(log n) by the large/small-star
-      potential argument, 3-5 in practice for near-clique dup graphs.
+      cannot lose iteration state). The checkpoint is LAZY: the
+      convergence probe that follows materializes it, so each round
+      costs one job instead of two.
+    * Convergence = the canonical edge set IS a star forest
+      (:func:`_is_star_forest` — one semi-join + isEmpty per round,
+      no driver-side edge collection); this is the iteration's fixed
+      point, detected one round earlier than checksum-equality.
+      Rounds are O(log n) by the large/small-star potential argument,
+      3-5 in practice for near-clique dup graphs.
     """
     edges = _canon_edges(pairs.select(F.col(src).alias("u"), F.col(dst).alias("v")))
     if checkpoint:
-        edges = edges.localCheckpoint(eager=True)
-    prev = _edge_checksum(edges)
+        edges = edges.localCheckpoint(eager=False)
 
     for _ in range(max_iterations):
+        if _is_star_forest(edges):
+            break
         edges = _star_round(edges)
         if checkpoint:
-            edges = edges.localCheckpoint(eager=True)
-        cur = _edge_checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
+            edges = edges.localCheckpoint(eager=False)
 
     # Converged star forest: every non-root points straight at the
     # component min. Roots are the distinct targets.
@@ -380,16 +394,13 @@ def connected_components_resumable(
         edges.write.mode("overwrite").parquet(round_dir(0))
         start = 0
     edges = spark.read.parquet(round_dir(start))
-    prev = _edge_checksum(edges)
 
     for k in range(start + 1, start + 1 + max_iterations):
+        if _is_star_forest(edges):
+            break  # fixed point reached — nothing more to write
         nxt = _star_round(edges)
         nxt.write.mode("overwrite").parquet(round_dir(k))
         edges = spark.read.parquet(round_dir(k))  # durable lineage cut
-        cur = _edge_checksum(edges)
-        if cur == prev:
-            break
-        prev = cur
 
     return edges.select(F.col("u").alias("node"), F.col("v").alias("cluster_id")).union(
         edges.select("v", "v").distinct()

@@ -179,13 +179,12 @@ def remove_dup_spans(
     docs). Any duplicated run ≥ k tokens is covered by its k-gram
     seeds; runs < k survive — the documented recall bound.
 
-    Shape: position-carrying k-gram hashes (single scan, inline
-    expression), df on the hash (count DISTINCT doc), gaps-and-
-    islands interval merge of the covered [s, s+k) seed ranges
-    (windowed PARTITION BY doc — adjacent covers collapse BEFORE the
-    per-token explode), anti-join on token positions, ordered rebuild
-    via sorted-struct aggregation (collect_list alone is
-    partition-order nondeterministic). Two shuffles; the k-gram
+    Shape: position-carrying k-gram hashes (single scan, position
+    explode + hash projection), df on the hash (count DISTINCT doc),
+    gaps-and-islands interval merge of the covered [s, s+k) seed
+    ranges as one fold over each doc's sorted seed starts, and the
+    rebuild as one higher-order filter over the doc's own token
+    array. Two shuffles; no token row ever leaves its doc; the k-gram
     projection is the shingle table the minhash family already
     materializes at scale.
 
@@ -200,19 +199,21 @@ def remove_dup_spans(
     from ..functions import portable as pt
     from ..functions.portable import SPARK
 
-    hexpr = pt.hex15("lower(concat_ws(' ', slice(w, i, %d)))" % k, SPARK)
+    # k-gram seeds via a CHEAP generator (sequence of positions) with
+    # the md5 gram hash computed ABOVE the explode: an expensive
+    # expression in the generator position is re-evaluated per
+    # generated row (measured 12× on this exact pass — see
+    # text_dedup_spans_query), while a projection over the generated
+    # position runs once per gram.
+    hexpr = pt.hex15("lower(concat_ws(' ', slice(w, s, %d)))" % k, SPARK)
     toks = df.select(
         F.col(id_col).alias("__id"),
         F.expr(f"split({text_col}, ' ')").alias("w"),
     )
-    grams = toks.select(
-        "__id",
-        F.expr(
-            f"CASE WHEN size(w) >= {k} THEN transform(sequence(1, size(w) - {k - 1}), "
-            f"i -> struct(i AS s, {hexpr} % {pt.P} AS g)) ELSE array() END"
-        ).alias("gs"),
-    ).select("__id", F.explode("gs").alias("sg")).select(
-        "__id", F.col("sg.s").alias("s"), F.col("sg.g").alias("gh")
+    grams = (
+        toks.where(F.expr(f"size(w) >= {k}"))
+        .select("__id", "w", F.explode(F.expr(f"sequence(1, size(w) - {k - 1})")).alias("s"))
+        .select("__id", "s", F.expr(f"{hexpr} % {pt.P}").alias("gh"))
     )
     dup = (
         grams.groupBy("gh")
@@ -220,42 +221,49 @@ def remove_dup_spans(
         .where(F.col("ndocs") > 1)
         .select("gh")
     )
-    wlag = Window.partitionBy("__id").orderBy("s")
-    wgrp = wlag.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ranges = (
+    # gaps-and-islands interval merge as ONE fold over each doc's
+    # sorted seed starts (identical rule to the former lag/cumsum
+    # window: a seed extends the current range iff s - prev_seed <= k,
+    # range end = last seed + k - 1), and the rebuild as one
+    # higher-order filter over the doc's own token array — no
+    # covered-position explode, no per-token anti-join shuffle, no
+    # collect_list rebuild (guide §2.3/§2.4; same restructure as
+    # text_dedup_spans_query, proven row-identical by the unchanged
+    # oracle there and the pinned tests here).
+    merged = (
         grams.join(dup, "gh")
-        .select("__id", "s")
-        .withColumn(
-            "newgrp",
-            F.when(F.col("s") - F.lag("s").over(wlag) <= k, 0).otherwise(1),
-        )
-        .withColumn("grp", F.sum("newgrp").over(wgrp))
-        .groupBy("__id", "grp")
-        .agg(F.min("s").alias("rs"), (F.max("s") + (k - 1)).alias("re"))
-    )
-    covered = ranges.select(
-        "__id", F.explode(F.expr("sequence(rs, re)")).alias("idx")
-    )
-    touched = covered.select("__id").distinct()
-    tokpos = (
-        toks.join(touched, "__id")
-        .select("__id", F.posexplode("w").alias("idx0", "tok"))
-        .select("__id", (F.col("idx0") + 1).alias("idx"), "tok")
-    )
-    kept = tokpos.join(covered, ["__id", "idx"], "left_anti")
-    rebuilt = touched.join(
-        kept.groupBy("__id").agg(
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("s")).alias("ss"))
+        .select(
+            "__id",
             F.expr(
-                "array_join(transform(array_sort(collect_list(struct(idx, tok))), x -> x.tok), ' ')"
-            ).alias("__kept_text")
-        ),
-        "__id",
-        "left",
-    ).select("__id", F.coalesce("__kept_text", F.lit("")).alias("__cleaned"))
+                f"""aggregate(
+                     ss,
+                     named_struct('rs', cast(array() as array<int>),
+                                  'ls', cast(array() as array<int>)),
+                     (acc, s) -> if(size(acc.ls) = 0 OR s - element_at(acc.ls, -1) > {k},
+                         named_struct('rs', concat(acc.rs, array(s)),
+                                      'ls', concat(acc.ls, array(s))),
+                         named_struct('rs', acc.rs,
+                                      'ls', concat(slice(acc.ls, 1, size(acc.ls) - 1), array(s)))),
+                     acc -> zip_with(acc.rs, acc.ls,
+                                     (a, b) -> named_struct('rs', a, 're', b + {k - 1}))
+                   )"""
+            ).alias("__ranges"),
+        )
+    )
     return (
-        df.join(rebuilt, F.col(id_col) == F.col("__id"), "left")
-        .withColumn(text_col, F.coalesce("__cleaned", F.col(text_col)))
-        .drop("__id", "__cleaned")
+        df.join(merged, F.col(id_col) == F.col("__id"), "left")
+        .withColumn(
+            text_col,
+            F.when(F.col("__ranges").isNull(), F.col(text_col)).otherwise(
+                F.expr(
+                    f"array_join(filter(split({text_col}, ' '), (tok, i) -> "
+                    f"NOT exists(__ranges, r -> i + 1 >= r.rs AND i + 1 <= r.re)), ' ')"
+                )
+            ),
+        )
+        .drop("__id", "__ranges")
     )
 
 

@@ -1478,13 +1478,19 @@ def sql_dedup_minhash_bands(d: str) -> str:
     codes = pt.token_codes("text", d)
     n_bands = pt.MINHASH_K // pt.BAND_ROWS
     if d == SPARK:
-        structs = ", ".join(
-            f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, d)})"
-            for band in range(n_bands)
-        )
+        # signature vector computed in a projection BELOW a cheap
+        # constant-sequence explode — an expensive expression in the
+        # generator position (the former inline(array(<4 structs ×
+        # 4 sigs>))) is re-evaluated per GENERATED row, 4× the md5
+        # work per doc (see operators.dedup.minhash_bands)
+        sigs = ", ".join(pt.minhash_sig_exprs("codes", d))
         return f"""
-    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents)
-    SELECT doc_id, inline(array({structs})) FROM c
+    WITH c AS (SELECT doc_id, {codes} AS codes FROM documents),
+    sv AS (SELECT doc_id, array({sigs}) AS sigv FROM c)
+    SELECT doc_id, band_id,
+           concat_ws('-', transform(slice(sigv, band_id * {pt.BAND_ROWS} + 1, {pt.BAND_ROWS}),
+                                    x -> cast(x as string))) AS band_key
+    FROM sv LATERAL VIEW explode(sequence(0, {n_bands - 1})) t AS band_id
     """
     selects = []
     for band in range(n_bands):
@@ -1522,11 +1528,15 @@ def sql_dedup_shingle_minhash(d: str) -> str:
     codes = pt.shingle_codes("text", d)
     n_bands = pt.MINHASH_K // pt.BAND_ROWS
     if d == SPARK:
-        structs = ", ".join(
-            f"named_struct('band_id', {band}, 'band_key', {pt.band_key_expr('codes', band, d)})"
-            for band in range(n_bands)
+        # same generator-position fix as sql_dedup_minhash_bands
+        sigs = ", ".join(pt.minhash_sig_exprs("codes", d))
+        bands_sql = (
+            f"SELECT doc_id, band_id, "
+            f"concat_ws('-', transform(slice(sigv, band_id * {pt.BAND_ROWS} + 1, {pt.BAND_ROWS}), "
+            f"x -> cast(x as string))) AS band_key "
+            f"FROM (SELECT doc_id, array({sigs}) AS sigv FROM c) sv "
+            f"LATERAL VIEW explode(sequence(0, {n_bands - 1})) t AS band_id"
         )
-        bands_sql = f"SELECT doc_id, inline(array({structs})) FROM c"
         inter = "size(array_intersect(sa.sh, sb.sh))"
         nuniq = "size"
     else:
@@ -4416,9 +4426,15 @@ def text_dup_ngrams_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from .functions import portable as _pt
 
-    register_views(spark, sf_dir)
     codes = _pt.arr_distinct(_pt.shingle_codes("text", SPARK, n=5), SPARK)
-    s = spark.sql(f"SELECT doc_id, explode({codes}) AS sh FROM documents").persist(
+    # persist the ARRAY projection and explode from the cache: an
+    # expensive expression in the generator position is re-evaluated
+    # per generated row (see text_dedup_spans_query), and the cached
+    # array form costs one scan of the spread input
+    arr = _docs(spark, sf_dir).select(
+        "doc_id", F.expr(codes).alias("shs")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    s = arr.select("doc_id", F.explode("shs").alias("sh")).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     df_counts = s.groupBy("sh").agg(F.count("*").alias("df"))
