@@ -150,6 +150,35 @@ def build_corpus(token_lists: list[list[str]]) -> tuple[np.ndarray, np.ndarray, 
     )
 
 
+def _lcp_ge(seq, sa: np.ndarray, t: int, chunk: int = 1 << 20) -> np.ndarray:
+    """Vectorized ``lcp >= t`` for SA-adjacent suffix pairs —
+    ``ge[i]`` ⟺ suffixes ``sa[i-1]`` and ``sa[i]`` share a ``t``-token
+    prefix (``ge[0] = False``, mirroring ``lcp[0] = 0``).
+
+    The dup-starts grouping only consumes the BOOLEAN ``lcp < t``,
+    never the exact LCP values, so Kasai's inherently sequential
+    Python loop (ADVICE r5: interpreter-bound at the recommended
+    shard sizes) is replaced by direct window equality on a
+    zero-copy ``sliding_window_view``: O(n·t) int compares, fully
+    vectorized, chunked to bound the comparison buffer at
+    ``chunk × t`` bytes."""
+    s = np.asarray(seq, dtype=np.int64)
+    n = len(sa)
+    ge = np.zeros(n, dtype=bool)
+    if n < 2 or len(s) < t:
+        return ge
+    from numpy.lib.stride_tricks import sliding_window_view
+
+    win = sliding_window_view(s, t)  # (len(s) - t + 1, t), zero-copy
+    a, b = sa[1:], sa[:-1]
+    last = len(s) - t
+    idx = np.flatnonzero((a <= last) & (b <= last))
+    for i0 in range(0, len(idx), chunk):
+        ii = idx[i0 : i0 + chunk]
+        ge[ii + 1] = (win[a[ii]] == win[b[ii]]).all(axis=1)
+    return ge
+
+
 def cross_doc_dup_starts(seq, doc_of, min_len: int, sa=None, lcp=None) -> np.ndarray:
     """Global positions whose ``min_len``-token forward window occurs
     in >= 2 DISTINCT documents (the battery's dup criterion).
@@ -160,15 +189,19 @@ def cross_doc_dup_starts(seq, doc_of, min_len: int, sa=None, lcp=None) -> np.nda
     every suffix between them in SA order does); a class is
     duplicated iff it spans >= 2 docs, and then EVERY member is a
     duplicated start. Pass precomputed ``sa``/``lcp`` to reuse one
-    construction across several derived products."""
+    construction across several derived products; when ``lcp`` is
+    not supplied, only the vectorized ``lcp >= min_len`` boolean is
+    computed (:func:`_lcp_ge`) — Kasai's Python loop never runs on
+    the production path."""
     if sa is None:
         sa = suffix_array(seq)
-    if lcp is None:
-        lcp = lcp_array(seq, sa)
     n = len(sa)
     if n == 0:
         return np.empty(0, dtype=np.int64)
-    grp = np.cumsum(lcp < min_len)  # lcp[0] = 0 opens group 1
+    if lcp is None:
+        grp = np.cumsum(~_lcp_ge(seq, sa, min_len))  # ge[0]=False opens group 1
+    else:
+        grp = np.cumsum(lcp < min_len)  # lcp[0] = 0 opens group 1
     docs = np.asarray(doc_of, dtype=np.int64)[sa]
     # distinct docs per group (sentinel suffixes live in singleton
     # groups: their first symbol is unique, so lcp to any neighbor
@@ -192,13 +225,24 @@ def keep_masks(
     operator (operators.textstats.remove_dup_spans_sa) so the
     marking rule cannot diverge between the kernel/fixture and the
     production path. A dup window never crosses a sentinel (sentinels
-    are unique), so the slice stays inside the document."""
-    masks = [np.ones(n, dtype=bool) for n in doc_lens]
-    for p in starts:
-        d = int(doc_of[p])
-        s = int(pos_of[p])
-        masks[d][s : s + min_len] = False
-    return masks
+    are unique), so the slice stays inside the document.
+
+    Vectorized (ADVICE r5): one difference array over the
+    concatenated doc positions — +1 at each window start, −1 at its
+    clamped end, one cumsum, split per doc — instead of a Python
+    loop writing ``min_len`` mask cells per start."""
+    lens = np.asarray(doc_lens, dtype=np.int64)
+    offs = np.zeros(len(lens) + 1, dtype=np.int64)
+    np.cumsum(lens, out=offs[1:])
+    diff = np.zeros(int(offs[-1]) + 1, dtype=np.int64)
+    starts = np.asarray(starts, dtype=np.int64)
+    if len(starts):
+        d = np.asarray(doc_of, dtype=np.int64)[starts]
+        s = np.asarray(pos_of, dtype=np.int64)[starts]
+        np.add.at(diff, offs[d] + s, 1)
+        np.add.at(diff, offs[d] + np.minimum(s + min_len, lens[d]), -1)
+    keep = np.cumsum(diff[:-1]) == 0
+    return [keep[offs[i] : offs[i + 1]] for i in range(len(lens))]
 
 
 def dedup_spans(
