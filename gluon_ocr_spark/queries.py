@@ -93,6 +93,18 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _spread(spark.read.parquet(path), path, "doc_id")
 
 
+def _emb_spread_view(spark: SparkSession, sf_dir: str) -> str:
+    """Registers (and returns the name of) a spread embeddings view
+    for Spark-side overrides whose assignment/subvector map phases
+    would otherwise run inside the single-row-group scan's one task
+    (the oracle keeps reading the plain ``embeddings`` view)."""
+    path = f"{sf_dir}/embeddings.parquet"
+    _spread(spark.read.parquet(path), path, "vec_id").createOrReplaceTempView(
+        "embeddings_spread"
+    )
+    return "embeddings_spread"
+
+
 def register_views(spark: SparkSession, sf_dir: str) -> None:
     # the driver may hand us a session with a non-UTC timezone; all
     # timestamp math (unix_micros of TIMESTAMP_NTZ casts) must agree
@@ -1872,11 +1884,13 @@ def sql_ann_ivf_recall(d: str) -> str:
     """
 
 
-def _semantic_e_sql(d: str) -> str:
+def _semantic_e_sql(d: str, source: str = "embeddings") -> str:
     """The shared (vec_id, q, nrm, cell) projection of
     sql_dedup_semantic: quantized vector, squared norm, and coarse
     cell = nearest deterministic center (vec_id < _IVF_CENTERS) by
-    exact int64 L2 (ties to the lowest center id)."""
+    exact int64 L2 (ties to the lowest center id). ``source`` lets
+    the Spark-side override read a spread view (the oracle renders
+    the default)."""
     q = pt.quantize_vec("embedding", d, q=1000)
     if d == SPARK:
         dist = "aggregate(zip_with(v.q, c.q, (x, y) -> (x - y) * (x - y)), cast(0 as bigint), (acc, t) -> acc + t)"
@@ -1884,7 +1898,7 @@ def _semantic_e_sql(d: str) -> str:
         dist = "list_sum(list_transform(list_zip(v.q, c.q), p -> (p[1] - p[2]) * (p[1] - p[2])))"
     norm = pt.int_dot("q", "q", d)
     return f"""
-    WITH e0 AS (SELECT vec_id, {q} AS q FROM embeddings),
+    WITH e0 AS (SELECT vec_id, {q} AS q FROM {source}),
     centers AS (SELECT vec_id AS cid, q FROM e0 WHERE vec_id < {_IVF_CENTERS}),
     assign AS (
         SELECT vec_id, cid AS cell
@@ -2026,13 +2040,14 @@ def _pq_dialect(d: str):
     return q, dims16, ms, js, at
 
 
-def _pq_subd_sql(d: str) -> str:
+def _pq_subd_sql(d: str, source: str = "embeddings") -> str:
     """The (vec_id, m, dim, val) subvector table every PQ stage
-    reads."""
+    reads. ``source`` lets the Spark-side override read a spread
+    view (the oracle renders the default)."""
     q, dims16, ms, _js, at = _pq_dialect(d)
     return (
         f"SELECT e.vec_id, ms.m, dims.dim, {at} AS val "
-        f"FROM (SELECT vec_id, {q} AS q FROM embeddings) e "
+        f"FROM (SELECT vec_id, {q} AS q FROM {source}) e "
         f"CROSS JOIN ({ms}) ms CROSS JOIN ({dims16}) dims"
     )
 
@@ -4525,7 +4540,8 @@ def dedup_semantic_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
     register_views(spark, sf_dir)
-    e = spark.sql(_semantic_e_sql(SPARK)).persist(StorageLevel.MEMORY_AND_DISK)
+    src = _emb_spread_view(spark, sf_dir)
+    e = spark.sql(_semantic_e_sql(SPARK, source=src)).persist(StorageLevel.MEMORY_AND_DISK)
     a = e.select(
         F.col("cell"),
         F.col("vec_id").alias("a_id"),
@@ -4565,6 +4581,10 @@ def ann_pq_topk_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark import StorageLevel
 
     register_views(spark, sf_dir)
+    # NOT spread: A/B-measured slower here (1.75 s plain vs 2.18 s
+    # spread steady) — the PQ pipeline is ~15 tiny aggregate stages
+    # whose cost is scheduling, and a 32-partition subd cache only
+    # multiplies tasks per stage at this table size
     subd = spark.sql(_pq_subd_sql(SPARK)).persist(StorageLevel.MEMORY_AND_DISK)
     subd.createOrReplaceTempView("pq_subd")
     return spark.sql(sql_ann_pq_topk(SPARK, subd_source="pq_subd"))
