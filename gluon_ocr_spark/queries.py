@@ -1482,11 +1482,11 @@ def sql_dedup_minhash_bands(d: str) -> str:
     Classic shingle→minhash→band pipeline; the band_key is the
     bucket-join key that makes dedup sub-quadratic at scale.
 
-    Spark side uses a single scan + ``inline`` explode (one pass
-    computes all 16 sigs / 4 band keys per doc — the UNION ALL
-    formulation re-scanned the corpus once per band, 8× in the
-    self-join). The DuckDB oracle keeps the simpler UNION ALL; results
-    are identical."""
+    Spark side uses a single scan: the 16-signature vector in one
+    projection, banded by a constant-sequence LATERAL VIEW explode
+    (the UNION ALL formulation re-scanned the corpus once per band,
+    8× in the self-join). The DuckDB oracle keeps the simpler
+    UNION ALL; results are identical."""
     codes = pt.token_codes("text", d)
     n_bands = pt.MINHASH_K // pt.BAND_ROWS
     if d == SPARK:
@@ -1535,8 +1535,9 @@ def sql_dedup_shingle_minhash(d: str) -> str:
 
     This is the form that survives 10^12 docs: candidate generation is
     an equi-join on (band_id, band_key); the O(|set| ) exact Jaccard
-    runs only on candidate pairs. Spark side single-scans via inline
-    explode; DuckDB oracle uses UNION ALL — identical results."""
+    runs only on candidate pairs. Spark side single-scans (sig
+    vector + constant-sequence band explode); DuckDB oracle uses
+    UNION ALL — identical results."""
     codes = pt.shingle_codes("text", d)
     n_bands = pt.MINHASH_K // pt.BAND_ROWS
     if d == SPARK:
